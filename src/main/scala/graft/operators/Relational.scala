@@ -2,17 +2,25 @@ package graft.operators
 
 import graft.Portable._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational / analytic core (SURVEY §2 B).
   *
   * Every query is declarative DataFrame algebra so Catalyst handles
   * pushdown, pruning and join planning; aggregates follow the
   * [[graft.Portable]] decimal discipline so results hash-match DuckDB.
+  *
+  * Scale posture: dims (region/nation/customer/supplier/part) are broadcast;
+  * fact-fact joins shuffle on their join key with AQE skew handling; windows
+  * partition by high-cardinality keys; the only global sorts are final
+  * post-aggregation top-Ns.
   */
 object Relational {
   private type Q = (SparkSession, String) => DataFrame
+  private val Exact = DecimalType(30, 10)
 
   /** TPC-H Q1 shape: multi-measure scan aggregate. */
   def q1(s: SparkSession, dir: String): DataFrame = {
@@ -45,11 +53,455 @@ object Relational {
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus"""
 
+  /** Pushed-down predicate + pruned projection (check PushedFilters). */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+  }
+
+  val q2Sql: String = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05"""
+
+  /** TPC-H Q3 shape: 3-table join + agg + deterministic top-10. */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit("2000-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > lit("2000-01-01").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String = s"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-01-01'
+      AND l_shipdate > TIMESTAMP '2000-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Dim-chain broadcast join: region→nation→customer rollup. */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(dcount(lit(1)).as("n_cust"), davg($"c_acctbal").as("avg_bal"))
+  }
+
+  val q4Sql: String = s"""
+    SELECT r_name, n_name, ${dcountSql("1")} AS n_cust,
+      ${davgSql("c_acctbal")} AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name"""
+
+  /** TPC-H Q5 shape: 6-table join, local-supplier predicate. */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, dir)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .groupBy($"r_name", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  val q5Sql: String = s"""
+    SELECT r_name, n_name,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name"""
+
+  /** Left-semi join (EXISTS). */
+  def q6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigLines = Tables.lineitem(s, dir).filter($"l_quantity" >= 45.0)
+    Tables.orders(s, dir)
+      .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+  }
+
+  val q6Sql: String = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)"""
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders. */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  val q7Sql: String = """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')"""
+
+  /** TPC-H Q13 shape: left outer join + count distribution. */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").cast("long").as("c_count"))
+      .groupBy($"c_count")
+      .agg(dcount(lit(1)).as("custdist"))
+  }
+
+  val q8Sql: String = s"""
+    SELECT c_count, ${dcountSql("1")} AS custdist FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count"""
+
+  /** Windowed rank: top-3 orders per customer by price. */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rnk")
+  }
+
+  val q9Sql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(rank() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders)
+    WHERE rnk <= 3"""
+
+  /** Running windowed aggregate (exact decimal running spend). */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_spend",
+        round(sum($"o_totalprice".cast(Exact)).over(w), 2).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend")
+  }
+
+  val q10Sql: String = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        AS DOUBLE) AS running_spend
+    FROM orders"""
+
+  /** Top-k per group via row_number window. */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice", $"rn")
+  }
+
+  val q11Sql: String = """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        CAST(row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+      FROM lineitem)
+    WHERE rn <= 3"""
+
+  /** Distinct + exact countDistinct. */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey").cast("long").as("n_nations"),
+        dcount(lit(1)).as("n_cust"))
+  }
+
+  val q12Sql: String = s"""
+    SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+      ${dcountSql("1")} AS n_cust
+    FROM customer GROUP BY c_mktsegment"""
+
+  /** Hierarchical rollup aggregate. */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(dcount(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+  }
+
+  val q13Sql: String = s"""
+    SELECT r_name, n_name, ${dcountSql("1")} AS n_cust,
+      ${dsumSql("c_acctbal")} AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)"""
+
+  /** Cube aggregate. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), dcount(lit(1)).as("n"))
+  }
+
+  val q14Sql: String = s"""
+    SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
+      ${dcountSql("1")} AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+  /** Union + dedup across branches. */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("custkey"))
+    val b = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey".as("custkey"))
+    a.union(b).distinct()
+  }
+
+  val q15Sql: String = """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0"""
+
+  /** Conditional aggregation over the event log. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        dsum(when($"event_type" === "click", $"value").otherwise(0.0)).as("click_value"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).cast("long").as("n_click"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).cast("long").as("n_error"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).cast("long").as("n_purchase"))
+  }
+
+  val q16Sql: String = s"""
+    SELECT user_id,
+      ${dsumSql("CASE WHEN event_type = 'click' THEN value ELSE 0.0 END")} AS click_value,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+    FROM events GROUP BY user_id"""
+
+  /** Exact interpolated percentiles per group. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"))
+  }
+
+  val q17Sql: String = """
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+      round(quantile_cont(l_quantity, 0.5), 4) AS median,
+      round(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag"""
+
+  /** As-of join: each click ↔ latest same-user purchase at ts <= click ts.
+    *
+    * Implemented as the scalable union+backward-fill plan (one shuffle on
+    * user_id, no range join): tag streams, sort within user by (ts, tag),
+    * carry the last purchase forward. Equivalent to DuckDB's ASOF JOIN.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // dedupe purchases at µs-tie granularity so the as-of pick is unique
+    val p = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max_by($"value", $"event_id").as("p_value"))
+      .select($"user_id", $"ts", $"p_value",
+        lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(null).cast("double").as("p_value"),
+        $"event_id", lit(1).as("tag"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.union(c)
+      .withColumn("last_p_value", last($"p_value", ignoreNulls = true).over(w))
+      .withColumn("last_p_ts",
+        last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id".as("click_id"), $"user_id",
+        $"ts".as("click_ts"), $"last_p_ts".as("p_ts"),
+        $"last_p_value".as("p_value"))
+  }
+
+  val q18Sql: String = """
+    WITH p AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS p_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      p.ts AS p_ts, p.p_value AS p_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
+  /** Time-range join: views followed by same-user clicks within 10 min. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+    v.join(c, $"v_user" === $"c_user" &&
+        $"c_ts" > $"v_ts" &&
+        $"c_ts" <= $"v_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"v_user".as("user_id"), $"view_id", $"click_id")
+  }
+
+  val q19Sql: String = """
+    SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id AND v.event_type = 'view'
+      AND c.event_type = 'click'
+      AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE"""
+
+  /** Pivot event_type → columns of counts. */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  val q20Sql: String = """
+    SELECT user_id,
+      count(*) FILTER (event_type = 'click') AS click,
+      count(*) FILTER (event_type = 'error') AS error,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type = 'signup') AS signup,
+      count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id"""
+
+  /** TPC-H Q17 shape: filter vs per-group scalar aggregate. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val thr = li.groupBy($"l_partkey".as("t_partkey"))
+      .agg((sum($"l_quantity".cast(Exact)).cast("double") /
+        count($"l_quantity") * 0.2).as("thr"))
+    li.join(broadcast(thr), $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"thr")
+      .agg((round(sum($"l_extendedprice".cast(Exact)).cast("double") / 7.0, 2))
+        .cast("double").as("avg_yearly"))
+  }
+
+  val q21Sql: String = """
+    WITH t AS (
+      SELECT l_partkey AS t_partkey,
+        CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+          / count(l_quantity) * 0.2 AS thr
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+      / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN t ON l_partkey = t_partkey
+    WHERE l_quantity < thr"""
+
+  /** Gap-based sessionization (30-min inactivity boundary). */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(dcount(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"))
+  }
+
+  val q22Sql: String = s"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+          THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, ${dcountSql("1")} AS n_events,
+      min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id"""
+
   val queries: Map[String, Q] = Map(
-    "q1_agg" -> q1
-  )
+    "q1_agg" -> q1, "q2_filter_project" -> q2, "q3_join_agg" -> q3,
+    "q4_broadcast_join" -> q4, "q5_multi_join" -> q5, "q6_semi_join" -> q6,
+    "q7_anti_join" -> q7, "q8_outer_join" -> q8, "q9_window_rank" -> q9,
+    "q10_running_sum" -> q10, "q11_topk_per_group" -> q11,
+    "q12_distinct" -> q12, "q13_rollup" -> q13, "q14_cube" -> q14,
+    "q15_union" -> q15, "q16_case_agg" -> q16, "q17_percentile" -> q17,
+    "q18_asof_join" -> q18, "q19_range_join" -> q19, "q20_pivot" -> q20,
+    "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22)
 
   val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1Sql
-  )
+    "q1_agg" -> q1Sql, "q2_filter_project" -> q2Sql, "q3_join_agg" -> q3Sql,
+    "q4_broadcast_join" -> q4Sql, "q5_multi_join" -> q5Sql,
+    "q6_semi_join" -> q6Sql, "q7_anti_join" -> q7Sql, "q8_outer_join" -> q8Sql,
+    "q9_window_rank" -> q9Sql, "q10_running_sum" -> q10Sql,
+    "q11_topk_per_group" -> q11Sql, "q12_distinct" -> q12Sql,
+    "q13_rollup" -> q13Sql, "q14_cube" -> q14Sql, "q15_union" -> q15Sql,
+    "q16_case_agg" -> q16Sql, "q17_percentile" -> q17Sql,
+    "q18_asof_join" -> q18Sql, "q19_range_join" -> q19Sql,
+    "q20_pivot" -> q20Sql, "q21_scalar_subquery" -> q21Sql,
+    "q22_sessionize" -> q22Sql)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("every relational query has an oracle and runs non-empty") {
+    Relational.queries.foreach { case (name, fn) =>
+      assert(Relational.oracles.contains(name), s"$name missing oracle")
+      val df = fn(s, d)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 groups by the 6 flag/status combos with positive sums") {
+    val rows = Relational.q1(s, d).collect()
+    assert(rows.length <= 6 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("avg_disc") >= 0 && r.getAs[Double]("avg_disc") <= 1)
+    }
+  }
+
+  test("q3 top-10 is sorted by revenue desc") {
+    val rev = Relational.q3(s, d).collect().map(_.getAs[Double]("revenue"))
+    assert(rev.length <= 10)
+    assert(rev.sameElements(rev.sortBy(-_)))
+  }
+
+  test("q8 custdist covers all customers") {
+    val total = Relational.q8(s, d)
+      .agg(sum(col("c_count") * lit(0) + col("custdist"))).collect()(0).getLong(0)
+    val nCust = sources.Tables.customer(s, d).count()
+    assert(total == nCust)
+  }
+
+  test("q9 ranks are within 1..3 and unique per (custkey, orderkey)") {
+    val df = Relational.q9(s, d)
+    assert(df.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    assert(df.groupBy("o_custkey", "o_orderkey").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("q18 as-of never matches a purchase after the click") {
+    val bad = Relational.q18(s, d)
+      .filter(col("p_ts").isNotNull && col("p_ts") > col("click_ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("q22 sessions are disjoint and ordered per user") {
+    val df = Relational.q22(s, d).orderBy("user_id", "session_id").collect()
+    df.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("session_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.getAs[java.sql.Timestamp]("session_end")
+            .after(b.getAs[java.sql.Timestamp]("session_start")))
+        case _ =>
+      }
+    }
+  }
+}
