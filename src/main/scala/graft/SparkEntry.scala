@@ -11,10 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ multimodal.Multimodal.queries
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
     * sorts columns by name before hashing). */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ multimodal.Multimodal.oracles
 }

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 F).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata. The
+  * container has no image/audio codecs by design, so the *decode* step is a
+  * clearly-marked deterministic stub ([[StubDecoder]]); everything around
+  * it — binary columns, schema, partition-parallel batch decode via
+  * `mapPartitions`, per-frame sampling — is the real pipeline shape.
+  */
+object Multimodal {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, blob: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, f0: Double, f1: Double,
+      f2: Double, f3: Double, f4: Double, f5: Double, f6: Double, f7: Double)
+
+  /** STUB decoder: a real implementation would decode image/audio bytes
+    * (the codec libraries are intentionally absent here); this stands in a
+    * deterministic md5-nibble "feature vector" so the distributed plumbing
+    * is fully exercised and oracle-checkable.
+    */
+  object StubDecoder {
+    def features(blob: Array[Byte]): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(blob).map("%02x".format(_)).mkString
+      Array.tabulate(8)(k => Integer.parseInt(hex.substring(k, k + 1), 16) / 15.0)
+    }
+  }
+
+  /** Text→binary ingestion used by the queries below (documents stand in
+    * for a media table; payload = utf-8 bytes).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+  }
+
+  /** m1: binary payload + typed metadata (byte length, digest). */
+  def m1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).select($"doc_id",
+      length($"blob").cast("long").as("byte_len"),
+      md5($"blob").as("blob_md5"))
+  }
+
+  val m1Sql: String =
+    "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS blob_md5 FROM documents"
+
+  /** m2: fixed-stride frame sampling from the payload (64-byte frames at
+    * stride 128), per-frame digests — the frame-extraction plan shape.
+    */
+  def m2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nFrames = floor((length($"text") - lit(64)) / lit(128.0)).cast("int")
+    Tables.documents(s, dir)
+      .filter(length($"text") >= 64)
+      .withColumn("frames",
+        transform(sequence(lit(0), nFrames),
+          i => $"text".substr(lit(1) + i * 128, lit(64))))
+      .select($"doc_id", posexplode($"frames"))
+      .toDF("doc_id", "frame_idx", "frame")
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        md5($"frame").as("frame_md5"))
+  }
+
+  val m2Sql: String = """
+    SELECT doc_id, i AS frame_idx,
+      md5(substring(text, CAST(1 + i*128 AS INT), 64)) AS frame_md5
+    FROM documents,
+      unnest(range(0, CAST(floor((strlen(text)-64)/128) AS BIGINT) + 1)) AS u(i)
+    WHERE strlen(text) >= 64"""
+
+  /** m3: partition-parallel batch decode→feature-extract via mapPartitions
+    * (the decoder is [[StubDecoder]] — see its scaladoc).
+    */
+  def m3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val f = StubDecoder.features(r.blob)
+        MediaFeatures(r.doc_id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+    }.toDF()
+  }
+
+  val m3Sql: String = {
+    val feats = (0 until 8).map { k =>
+      s"(strpos('0123456789abcdef', substring(md5(text), ${k + 1}, 1)) - 1) / 15.0 AS f$k"
+    }.mkString(", ")
+    s"SELECT doc_id, $feats FROM documents"
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m1_binary_meta" -> m1, "m2_frame_sample" -> m2, "m3_feature_stub" -> m3)
+
+  val oracles: Map[String, String] = Map(
+    "m1_binary_meta" -> m1Sql, "m2_frame_sample" -> m2Sql,
+    "m3_feature_stub" -> m3Sql)
+}

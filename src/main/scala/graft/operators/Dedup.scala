@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.functions.{SimHash, Text, TextSql, Vec, VecSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (SURVEY §2 D).
+  *
+  * Scale posture: d1/d2/d4 are linear maps + keyed joins (LSH bands or hash
+  * buckets are the shuffle keys — pair counts stay bounded by bucket size);
+  * d3 verifies only the LSH candidate set; d5's all-pairs form is exact
+  * verification — at fleet scale the candidate set comes from s2's LSH
+  * buckets first.
+  */
+object Dedup {
+  private type Q = (SparkSession, String) => DataFrame
+  private val NumSigs = 9
+  private val BandRows = 3
+  private val NumBands = NumSigs / BandRows
+  val SimHashMaxHamming = 12
+  val CosineThreshold = 0.4
+
+  /** d1: exact dedup by normalized-text fingerprint → survivors per group. */
+  def d1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(Text.normText($"text")).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  val d1Sql: String = s"""
+    SELECT md5(${TextSql.norm}) AS fp, min(doc_id) AS keeper,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY fp"""
+
+  /** Exploded (doc_id, shingle) pairs. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(Text.shingles(Text.tokens($"text"))).as("sh"))
+  }
+
+  /** MinHash signatures + LSH band hashes per doc. */
+  private def bandRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigAggs = (0 until NumSigs).map(i => Text.minhashSig($"sh", i).as(s"sig$i"))
+    val sigs = shingleRows(s, dir).groupBy($"doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until NumBands).map { j =>
+      md5(concat((0 until BandRows).map(r => col(s"sig${BandRows * j + r}")): _*))
+    }
+    sigs.select($"doc_id", posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "bi", "bh")
+  }
+
+  /** LSH candidate pairs (a_id < b_id), deduped across bands. */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val b = bandRows(s, dir)
+    val a = b.toDF("a_id", "bi", "bh")
+    val x = b.toDF("b_id", "bi2", "bh2")
+    a.join(x, a("bi") === x("bi2") && a("bh") === x("bh2") && a("a_id") < x("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** d2: MinHash + LSH banded candidate pairs. */
+  def d2(s: SparkSession, dir: String): DataFrame = minhashCandidates(s, dir)
+
+  val d2Sql: String = {
+    val sigs = (0 until NumSigs).map(i => s"min(md5('$i|'||sh)) AS sig$i").mkString(", ")
+    val bands = (0 until NumBands)
+      .map(j => s"md5(${(0 until BandRows).map(r => s"sig${BandRows * j + r}").mkString("||")}) AS band$j")
+      .mkString(", ")
+    val stack = (0 until NumBands)
+      .map(j => s"SELECT doc_id, $j AS bi, band$j AS bh FROM band")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(${TextSql.shingles("toks")}) AS sh FROM tok),
+    sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+    band AS (SELECT doc_id, $bands FROM sig),
+    b AS ($stack)
+    SELECT DISTINCT a.doc_id AS a_id, x.doc_id AS b_id
+    FROM b a JOIN b x ON a.bi = x.bi AND a.bh = x.bh AND a.doc_id < x.doc_id"""
+  }
+
+  /** d3: exact 3-gram Jaccard over the LSH candidate set. */
+  def d3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id",
+        array_distinct(Text.shingles(Text.tokens($"text"))).as("shingles"))
+    val cands = minhashCandidates(s, dir)
+    cands
+      .join(sh.toDF("a_id", "a_sh"), "a_id")
+      .join(sh.toDF("b_id", "b_sh"), "b_id")
+      .select($"a_id", $"b_id",
+        round(size(array_intersect($"a_sh", $"b_sh")) * lit(1.0) /
+          size(array_union($"a_sh", $"b_sh")), 6).as("jaccard"))
+  }
+
+  val d3Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    shl AS (SELECT doc_id, list_distinct(${TextSql.shingles("toks")}) AS shingles FROM tok),
+    cand AS (${d2Sql})
+    SELECT c.a_id, c.b_id,
+      round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+            / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+    FROM cand c JOIN shl a ON c.a_id = a.doc_id JOIN shl b ON c.b_id = b.doc_id"""
+
+  /** Per-doc 64-bit shingle SimHash as two sign-safe BIGINT halves. */
+  def simhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val distinctShingles = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(Text.shingles(Text.tokens($"text")))).as("sh"))
+    val aggs = SimHash.voteAggs($"sh")
+    val votes = distinctShingles.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    votes.select($"doc_id",
+      SimHash.half(b => col(s"v$b"), 0, 32, 31).as("h1"),
+      SimHash.half(b => col(s"v$b"), 32, 64, 63).as("h2"))
+  }
+
+  /** d4: SimHash near-dup pairs at Hamming <= 12 (of 64 bits). */
+  def d4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sim = simhashes(s, dir)
+    val a = sim.toDF("a_id", "a_h1", "a_h2")
+    val b = sim.toDF("b_id", "b_h1", "b_h2")
+    val hamming = (expr("bit_count(a_h1 ^ b_h1)") + expr("bit_count(a_h2 ^ b_h2)"))
+      .cast("long")
+    a.join(broadcast(b), a("a_id") < b("b_id"))
+      .withColumn("hamming", hamming)
+      .filter($"hamming" <= SimHashMaxHamming)
+      .select($"a_id", $"b_id", $"hamming")
+  }
+
+  val d4Sql: String = {
+    val votes = SimHash.voteAggsSql("sh").mkString(", ")
+    s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    tkn AS (SELECT doc_id, unnest(list_distinct(${TextSql.shingles("toks")})) AS sh FROM tok),
+    v AS (SELECT doc_id, $votes FROM tkn GROUP BY doc_id),
+    sim AS (SELECT doc_id, ${SimHash.halfSql(0, 32, 31)} AS h1,
+            ${SimHash.halfSql(32, 64, 63)} AS h2 FROM v)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= $SimHashMaxHamming"""
+  }
+
+  /** d5: embedding-cosine near-dup pairs (exact verification form). */
+  def d5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val a = e.toDF("a_id", "a_emb")
+    val b = e.toDF("b_id", "b_emb")
+    a.join(broadcast(b), a("a_id") < b("b_id"))
+      .withColumn("cos", round(Vec.cosine($"a_emb", $"b_emb"), 6))
+      .filter($"cos" >= CosineThreshold)
+      .select($"a_id", $"b_id", $"cos")
+  }
+
+  val d5Sql: String = s"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) >= $CosineThreshold"""
+
+  private type QM = Map[String, Q]
+  val queries: QM = Map(
+    "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
+    "d4_simhash" -> d4, "d5_embedding_neardup" -> d5)
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql, "d2_minhash_lsh" -> d2Sql,
+    "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
+    "d5_embedding_neardup" -> d5Sql)
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.{Text, TextSql}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the documents table (SURVEY §2 C): tokenization,
+  * quality scoring, heuristic language ID, fingerprinting, shingling,
+  * corpus frequencies. All linear per-row maps + one aggregation — no
+  * all-pairs work, so the block scales with document count.
+  */
+object TextOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** t1: portable tokenizer + token counts. */
+  def t1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", size(Text.tokens($"text")).cast("long").as("n_tokens"))
+  }
+
+  val t1Sql: String = s"""
+    SELECT doc_id, CAST(len(${TextSql.toks}) AS BIGINT) AS n_tokens
+    FROM documents"""
+
+  /** t2: length/punctuation/stopword quality heuristic. */
+  def t2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+    val nTok = size($"toks")
+    val punct = length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))
+    val punctRatio = when(length($"text") > 0,
+      punct * lit(1.0) / length($"text")).otherwise(0.0)
+    val stopRatio = when(nTok > 0,
+      Text.stopwordHits($"toks", Text.enStops) * lit(1.0) / nTok).otherwise(0.0)
+    val quality = least(lit(1.0), nTok / lit(100.0)) * 0.3 +
+      stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3
+    // floor-truncation, not round(): the inputs are bitwise-identical
+    // doubles in both engines, so floor is deterministic, while round()
+    // diverges on exact .XXXX5 ties (dyadic ratios like 7/64 produce them)
+    def trunc4(c: org.apache.spark.sql.Column) =
+      (floor(c * 10000) / 10000.0).cast("double")
+    docs.select($"doc_id", nTok.cast("long").as("n_tokens"),
+      trunc4(punctRatio).as("punct_ratio"),
+      trunc4(stopRatio).as("stop_ratio"),
+      trunc4(quality).as("quality"))
+  }
+
+  val t2Sql: String = {
+    val stops = TextSql.stopwordHits("toks", Text.enStops)
+    s"""
+    WITH tok AS (SELECT doc_id, text, ${TextSql.toks} AS toks FROM documents),
+    m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
+      CASE WHEN len(toks) > 0 THEN $stops * 1.0 / len(toks) ELSE 0.0 END AS stop_ratio
+      FROM tok)
+    SELECT doc_id, n_tokens,
+      CAST(floor(punct_ratio * 10000) / 10000.0 AS DOUBLE) AS punct_ratio,
+      CAST(floor(stop_ratio * 10000) / 10000.0 AS DOUBLE) AS stop_ratio,
+      CAST(floor((least(1.0, n_tokens / 100.0) * 0.3 + stop_ratio * 0.4
+            + (1.0 - punct_ratio) * 0.3) * 10000) / 10000.0 AS DOUBLE) AS quality
+    FROM m"""
+  }
+
+  /** t3: stopword-hit heuristic language ID (fixed tie order). */
+  def t3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).withColumn("toks", Text.tokens($"text"))
+    val en = Text.stopwordHits($"toks", Text.enStops).cast("long")
+    val de = Text.stopwordHits($"toks", Text.deStops).cast("long")
+    val es = Text.stopwordHits($"toks", Text.esStops).cast("long")
+    val fr = Text.stopwordHits($"toks", Text.frStops).cast("long")
+    docs.select($"doc_id", en.as("en_hits"), de.as("de_hits"),
+        es.as("es_hits"), fr.as("fr_hits"))
+      .withColumn("pred_lang",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"es_hits" &&
+          $"en_hits" >= $"fr_hits" && $"en_hits" > 0, "en")
+          .when($"de_hits" >= $"es_hits" && $"de_hits" >= $"fr_hits" &&
+            $"de_hits" > 0, "de")
+          .when($"es_hits" >= $"fr_hits" && $"es_hits" > 0, "es")
+          .when($"fr_hits" > 0, "fr")
+          .otherwise("unknown"))
+  }
+
+  val t3Sql: String = {
+    def hits(stops: Seq[String]) =
+      s"CAST(${TextSql.stopwordHits("toks", stops)} AS BIGINT)"
+    s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    h AS (SELECT doc_id, ${hits(Text.enStops)} AS en_hits,
+      ${hits(Text.deStops)} AS de_hits, ${hits(Text.esStops)} AS es_hits,
+      ${hits(Text.frStops)} AS fr_hits FROM tok)
+    SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+      CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+           WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+           WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+           WHEN fr_hits > 0 THEN 'fr'
+           ELSE 'unknown' END AS pred_lang
+    FROM h"""
+  }
+
+  /** t4: md5 fingerprint of normalized text. */
+  def t4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(Text.normText($"text")).as("fp"))
+  }
+
+  val t4Sql: String = s"SELECT doc_id, md5(${TextSql.norm}) AS fp FROM documents"
+
+  /** t5: 3-gram shingle counts. */
+  def t5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("sh", Text.shingles(Text.tokens($"text")))
+      .select($"doc_id",
+        size(array_distinct($"sh")).cast("long").as("n_shingles"),
+        size($"sh").cast("long").as("n_total"))
+  }
+
+  val t5Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, ${TextSql.shingles("toks")} AS sh FROM tok)
+    SELECT doc_id, CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles,
+      CAST(len(sh) AS BIGINT) AS n_total
+    FROM sh"""
+
+  /** t6: corpus top-20 token frequencies (deterministic tiebreak). */
+  def t6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(Text.tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
+  val t6Sql: String = s"""
+    WITH tok AS (SELECT unnest(${TextSql.toks}) AS token FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+    GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+
+  val queries: Map[String, Q] = Map(
+    "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
+    "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6)
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
+    "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
+    "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql)
+}

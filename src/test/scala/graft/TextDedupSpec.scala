@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("t1 token counts are positive and bounded by char counts") {
+    val joined = TextOps.t1(s, d)
+      .join(sources.Tables.documents(s, d), "doc_id")
+    assert(joined.filter(col("n_tokens") <= 0).count() == 0)
+    assert(joined.filter(col("n_tokens") > col("n_chars")).count() == 0)
+  }
+
+  test("t2 quality components stay in [0,1]") {
+    val bad = TextOps.t2(s, d).filter(
+      col("punct_ratio") < 0 || col("punct_ratio") > 1 ||
+        col("stop_ratio") < 0 || col("stop_ratio") > 1 ||
+        col("quality") < 0 || col("quality") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("d2 LSH candidates all verify above 0.8 jaccard on this corpus") {
+    // the planted near-dups are ~0.98 jaccard; LSH-with-9-sigs should
+    // produce no false positives here
+    val low = Dedup.d3(s, d).filter(col("jaccard") < 0.8)
+    assert(low.count() == 0)
+    assert(Dedup.d2(s, d).count() > 0)
+  }
+
+  test("d4 simhash pairs equal the d2 candidate pairs on this corpus") {
+    val d4p = Dedup.d4(s, d).select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d2p = Dedup.d2(s, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d4p == d2p, s"simhash=${d4p.size} lsh=${d2p.size}")
+  }
+
+  test("s2 LSH ANN reaches recall >= 0.2 vs brute force") {
+    val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.s2(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("s3 IVF ANN reaches recall >= 0.3 vs brute force") {
+    val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.s3(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("m3 stub features are deterministic and in [0,1]") {
+    val a = Multimodal.m3(s, d).collect().sortBy(_.getLong(0))
+    val b = Multimodal.m3(s, d).collect().sortBy(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.forall(r => (1 to 8).forall { i =>
+      val v = r.getDouble(i); v >= 0.0 && v <= 1.0
+    }))
+  }
+}
