@@ -12,11 +12,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ multimodal.Multimodal.queries
+      Similarity.queries ++ multimodal.Multimodal.queries ++
+      TxnQueries.queries ++ streaming.StreamOps.queries ++
+      sources.Roundtrip.queries
 
   /** DuckDB-equivalent SQL per query key (same column names — the driver
     * sorts columns by name before hashing). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ multimodal.Multimodal.oracles
+      Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      TxnQueries.oracles ++ streaming.StreamOps.oracles ++
+      sources.Roundtrip.oracles
 }

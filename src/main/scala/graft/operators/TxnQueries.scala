@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.sources.Tables
+import graft.streaming.{StreamRunner, TxnEngine}
+import graft.streaming.TxnEngine.{Blind, Conditional, SkTxn}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's transactional surface re-expressed as gate queries
+  * (SURVEY §2 A). A deterministic single-key transaction log is derived
+  * from the events table (txnId = event_id, key = user bucket); the same
+  * log drives the batch folds, the streaming engine, and the DuckDB
+  * oracles (plain SQL for blind mode, a recursive CTE replaying the
+  * conditional fold).
+  */
+object TxnQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private val Buckets = 40
+
+  /** Shared workload: v = floor(value*100); delete when v%5=0; assert =
+    * two-back log value when v%3=0 else one-back (both may be NULL =
+    * expect-absent). Mixed outcomes in both modes.
+    */
+  def workload(s: SparkSession, dir: String): Dataset[SkTxn] = {
+    import s.implicits._
+    val w = Window.partitionBy($"key").orderBy($"txn_id")
+    Tables.events(s, dir)
+      .select($"event_id".as("txn_id"),
+        concat(lit("k"), ($"user_id" % Buckets).cast("string")).as("key"),
+        floor($"value" * 100).cast("long").as("v"))
+      .withColumn("new_val",
+        when($"v" % 5 === 0, lit(null).cast("string"))
+          .otherwise($"v".cast("string")))
+      .withColumn("assert_val",
+        when($"v" % 3 === 0, lag($"new_val", 2).over(w))
+          .otherwise(lag($"new_val", 1).over(w)))
+      .select($"txn_id".as("txnId"), $"key", lit(true).as("hasAssert"),
+        $"assert_val".as("assertValue"), $"new_val".as("updateValue"))
+      .as[SkTxn]
+  }
+
+  /** Workload CTEs shared by every oracle. */
+  private val workloadSql = s"""
+    raw AS (
+      SELECT event_id AS txn_id,
+        'k' || CAST(user_id % $Buckets AS VARCHAR) AS key,
+        CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events),
+    w0 AS (
+      SELECT txn_id, key, v,
+        CASE WHEN v % 5 = 0 THEN NULL ELSE CAST(v AS VARCHAR) END AS new_val
+      FROM raw),
+    wl AS (
+      SELECT txn_id, key, new_val,
+        CASE WHEN v % 3 = 0
+          THEN lag(new_val, 2) OVER (PARTITION BY key ORDER BY txn_id)
+          ELSE lag(new_val, 1) OVER (PARTITION BY key ORDER BY txn_id)
+        END AS assert_val,
+        row_number() OVER (PARTITION BY key ORDER BY txn_id) AS rn
+      FROM w0)"""
+
+  /** Recursive replay of the conditional fold (the oracle's state machine).
+    */
+  private val conditionalSteps = s"""
+    WITH RECURSIVE $workloadSql,
+    steps AS (
+      SELECT key, 0 AS rn, CAST(NULL AS VARCHAR) AS cur,
+        CAST(NULL AS BIGINT) AS txn_id, CAST(NULL AS BOOLEAN) AS ok
+      FROM (SELECT DISTINCT key FROM wl)
+      UNION ALL
+      SELECT t.key, t.rn,
+        CASE WHEN t.assert_val IS NOT DISTINCT FROM s.cur
+          THEN t.new_val ELSE s.cur END,
+        t.txn_id, (t.assert_val IS NOT DISTINCT FROM s.cur)
+      FROM steps s JOIN wl t ON t.key = s.key AND t.rn = s.rn + 1)"""
+
+  /** a1: blind-mode final KV state. */
+  def a1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TxnEngine.applyState(workload(s, dir), Blind)
+      .toDF("key", "value", "last_txn_id")
+  }
+
+  val a1Sql: String = s"""
+    WITH $workloadSql,
+    sel AS (SELECT key, new_val, txn_id,
+      row_number() OVER (PARTITION BY key ORDER BY txn_id DESC) AS rd
+      FROM w0)
+    SELECT key, new_val AS value, txn_id AS last_txn_id FROM sel WHERE rd = 1"""
+
+  /** a2: blind-mode per-txn audit results. */
+  def a2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TxnEngine.applyResults(workload(s, dir), Blind)
+      .toDF("txn_id", "key", "succeeded")
+  }
+
+  val a2Sql: String = s"""
+    WITH $workloadSql
+    SELECT txn_id, key,
+      (assert_val IS NOT DISTINCT FROM
+        lag(new_val) OVER (PARTITION BY key ORDER BY txn_id)) AS succeeded
+    FROM wl"""
+
+  /** a3: full conditional (Calvin) semantics — final KV state. */
+  def a3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TxnEngine.applyState(workload(s, dir), Conditional)
+      .select($"key", $"value")
+  }
+
+  val a3Sql: String = s"""
+    $conditionalSteps
+    SELECT key, cur AS value FROM (
+      SELECT key, cur, rn, max(rn) OVER (PARTITION BY key) AS mx FROM steps)
+    WHERE rn = mx AND rn > 0"""
+
+  /** a4: conditional per-txn success flags. */
+  def a4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TxnEngine.applyResults(workload(s, dir), Conditional)
+      .toDF("txn_id", "key", "succeeded")
+  }
+
+  val a4Sql: String = s"""
+    $conditionalSteps
+    SELECT txn_id, key, ok AS succeeded FROM steps WHERE rn > 0"""
+
+  /** a5: the conditional log through Structured Streaming
+    * (flatMapGroupsWithState), fed in two txn-ordered micro-batches so
+    * state crosses a batch boundary; final state must equal a3's.
+    */
+  def a5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txns = workload(s, dir).collect().sortBy(_.txnId)
+    val mid = if (txns.isEmpty) 0L else txns(txns.length / 2).txnId
+    val batches = Seq(
+      txns.filter(_.txnId < mid).toSeq, txns.filter(_.txnId >= mid).toSeq)
+    val emitted = StreamRunner.run(s, batches) { ds =>
+      TxnEngine.streamResults(ds, Conditional).toDF()
+    }
+    emitted.groupBy($"key")
+      .agg(max_by($"valueAfter", $"txnId").as("value"))
+      .select($"key", $"value")
+  }
+
+  val a5Sql: String = a3Sql
+
+  /** a6: per-key event-time-ordered changelog (the KeyedEventTimeSorter
+    * analog — deterministic (ts, event_id) order, reference
+    * StreamyDb.scala:35-64).
+    */
+  def a6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("long").as("n"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct($"ts", $"event_id"))),
+            x => x.getField("event_id").cast("string")),
+          ",").as("seq"))
+  }
+
+  val a6Sql: String = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id"""
+
+  /** a7: watermarked tumbling-window streaming aggregate (heartbeat /
+    * watermark analog, reference HeartBeatGenerator.scala). A far-future
+    * sentinel advances the watermark so append mode flushes every real
+    * window.
+    */
+  def a7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"ts", $"event_type").as[(java.sql.Timestamp, String)]
+      .collect().toSeq
+    val maxTs = rows.map(_._1.getTime).max
+    val sentinel = (new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000), "zzz_sentinel")
+    val out = StreamRunner.run(s, Seq(rows, Seq(sentinel))) { ds =>
+      ds.toDF("ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select($"window.start".as("window_start"), $"event_type", $"n")
+    }
+    out.filter($"event_type" =!= "zzz_sentinel")
+  }
+
+  val a7Sql: String = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY window_start, event_type"""
+
+  val queries: Map[String, Q] = Map(
+    "a1_txn_blind_state" -> a1, "a2_txn_blind_results" -> a2,
+    "a3_txn_conditional_state" -> a3, "a4_txn_conditional_results" -> a4,
+    "a5_stream_txn_kv" -> a5, "a6_event_time_sort" -> a6,
+    "a7_stream_watermark_agg" -> a7)
+
+  val oracles: Map[String, String] = Map(
+    "a1_txn_blind_state" -> a1Sql, "a2_txn_blind_results" -> a2Sql,
+    "a3_txn_conditional_state" -> a3Sql, "a4_txn_conditional_results" -> a4Sql,
+    "a5_stream_txn_kv" -> a5Sql, "a6_event_time_sort" -> a6Sql,
+    "a7_stream_watermark_agg" -> a7Sql)
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics operators (SURVEY §2 G) driven through real
+  * Structured Streaming plans via [[StreamRunner]].
+  */
+object StreamOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** g1: streaming dedup — first occurrence of each (user_id, event_type)
+    * pair across micro-batches (dropDuplicates keyed state).
+    */
+  def g1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"user_id", $"event_type").as[(Long, String)]
+      .collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    StreamRunner.run(s, Seq(b1, b2)) { ds =>
+      ds.toDF("user_id", "event_type").dropDuplicates("user_id", "event_type")
+    }
+  }
+
+  val g1Sql: String = "SELECT DISTINCT user_id, event_type FROM events"
+
+  final case class SessEvent(userId: Long, tsUs: Long, eventId: Long)
+  final case class SessState(start: Long, end: Long, n: Long, sid: Long)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  private val GapUs = 30L * 60 * 1000000
+
+  /** µs-precision epoch → Timestamp (plain ms construction drops µs). */
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp((us / 1000000) * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  /** g2: stateful streaming sessionization (30-min gap), the
+    * mapGroupsWithState analog of batch q22. Sessions close when a gap
+    * arrives; a per-user far-future sentinel closes the tail session.
+    * Events must arrive in (ts, event_id) order per user across batches
+    * (the deterministic-order contract the reference's event-time sorter
+    * establishes; here the feeder sorts).
+    */
+  def g2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => SessEvent(r._1, r._2, r._3))
+      .sortBy(e => (e.tsUs, e.eventId))
+    val mid = if (rows.isEmpty) 0L else rows(rows.length / 2).tsUs
+    val maxTs = if (rows.isEmpty) 0L else rows.map(_.tsUs).max
+    val sentinels = rows.map(_.userId).distinct
+      .map(u => SessEvent(u, maxTs + 2 * GapUs, -1L))
+    val batches = Seq(
+      rows.filter(_.tsUs < mid).toSeq,
+      rows.filter(_.tsUs >= mid).toSeq,
+      sentinels.toSeq)
+    StreamRunner.run(s, batches) { ds =>
+      ds.groupByKey(_.userId)
+        .flatMapGroupsWithState[SessState, Session](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, gs) =>
+          val out = List.newBuilder[Session]
+          var st = gs.getOption.orNull
+          it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            if (st == null) {
+              st = SessState(e.tsUs, e.tsUs, 1, 1)
+            } else if (e.tsUs - st.end > GapUs) {
+              out += Session(user, st.sid, st.n, usToTs(st.start), usToTs(st.end))
+              st = SessState(e.tsUs, e.tsUs, 1, st.sid + 1)
+            } else {
+              st = st.copy(end = e.tsUs, n = st.n + 1)
+            }
+          }
+          gs.update(st)
+          out.result().iterator
+        }.toDF()
+    }.filter(col("n_events") > 0)
+  }
+
+  // same output contract as batch q22
+  val g2Sql: String = graft.operators.Relational.q22Sql
+
+  val queries: Map[String, Q] = Map(
+    "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2)
+
+  val oracles: Map[String, String] = Map(
+    "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql)
+}

@@ -1,0 +1,27 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Drives a Structured Streaming query synchronously from in-memory
+  * batches (tests + the correctness gate run streams this way; production
+  * points the same builders at readStream sources).
+  */
+object StreamRunner {
+  private val n = new AtomicInteger(0)
+
+  /** Feed `batches` through `build` and return the memory-sink table. */
+  def run[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
+      outputMode: String = "append")(build: Dataset[T] => DataFrame): DataFrame = {
+    implicit val sq = spark.sqlContext
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val ms = MemoryStream[T]
+    val q = build(ms.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.TxnQueries
+import graft.streaming.{StreamRunner, TxnEngine}
+import graft.streaming.TxnEngine._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class TxnEngineSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  /** Deterministic random multi-key workloads (seeded). */
+  private def randomTxns(seed: Long, n: Int, keys: Int): Seq[Txn] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      def kvs(c: Int) = (0 until c).map { _ =>
+        KeyValueOption(s"k${rnd.nextInt(keys)}",
+          if (rnd.nextBoolean()) Some(rnd.nextInt(5).toString) else None)
+      }.groupBy(_.key).map(_._2.head).toSeq // distinct keys per txn
+      Txn(i.toLong, kvs(1 + rnd.nextInt(3)), kvs(1 + rnd.nextInt(3)))
+    }
+  }
+
+  test("multi-key generation scheduler matches the sequential oracle") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val txns = randomTxns(seed, 60, 8)
+      val (stateDf, results) = TxnEngine.applyMultiKey(s, txns)
+      val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+      assert(results.sortBy(_.txnId) == oracleResults.sortBy(_.txnId),
+        s"results diverge for seed=$seed")
+      val got = stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == oracleState, s"state diverges for seed=$seed")
+    }
+  }
+
+  test("generations never reuse a key within a round and respect txn order") {
+    val txns = randomTxns(3L, 40, 5)
+    val gens = TxnEngine.generations(txns)
+    gens.foreach { g =>
+      val ks = g.flatMap(t => (t.asserts ++ t.updates).map(_.key).distinct)
+      assert(ks.distinct.size == ks.size, "key conflict within a generation")
+    }
+    // a txn's keys must not appear in any earlier txn of a later generation
+    val genOf = gens.zipWithIndex.flatMap { case (g, i) => g.map(_.txnId -> i) }.toMap
+    txns.foreach { t =>
+      val ks = (t.asserts ++ t.updates).map(_.key).toSet
+      txns.filter(u => u.txnId < t.txnId &&
+        (u.asserts ++ u.updates).exists(kv => ks(kv.key)))
+        .foreach(u => assert(genOf(u.txnId) < genOf(t.txnId)))
+    }
+  }
+
+  test("single-key batch fold matches the sequential oracle") {
+    import s.implicits._
+    val txns = TxnQueries.workload(s, d).collect().toSeq
+    val asMulti = txns.sortBy(_.txnId).map(t => Txn(t.txnId,
+      Seq(KeyValueOption(t.key, Option(t.assertValue))),
+      Seq(KeyValueOption(t.key, Option(t.updateValue)))))
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(asMulti)
+    val got = TxnEngine.applyState(txns.toDS(), Conditional).collect()
+      .filter(_.value != null).map(r => r.key -> r.value).toMap
+    assert(got == oracleState)
+    val gotResults = TxnEngine.applyResults(txns.toDS(), Conditional)
+      .collect().map(r => r.txnId -> r.succeeded).toMap
+    assert(gotResults == oracleResults.map(r => r.txnId -> r.succeeded).toMap)
+  }
+
+  test("streaming engine state survives micro-batch boundaries") {
+    import s.implicits._
+    val txns = TxnQueries.workload(s, d).collect().sortBy(_.txnId).toSeq
+    // 4 batches instead of a5's 2 — must still equal the batch fold
+    val bs = txns.grouped(math.max(1, txns.size / 4)).map(_.toSeq).toSeq
+    val emitted = StreamRunner.run(s, bs) { ds =>
+      TxnEngine.streamResults(ds, Conditional).toDF()
+    }
+    val streamed = emitted.groupBy($"key")
+      .agg(max_by($"valueAfter", $"txnId").as("value"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val batch = TxnEngine.applyState(txns.toDS(), Conditional).collect()
+      .map(r => r.key -> r.value).toMap
+    assert(streamed == batch)
+  }
+
+  test("watermark drops late events (heartbeat analog)") {
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // batch 1 advances watermark to 100-10=90min; batch 2's 30min event is
+    // older than the watermark and must be dropped from the window agg
+    val b1 = Seq((ts(0), "a"), (ts(100), "a"))
+    val b2 = Seq((ts(30), "late"), (ts(200), "a"), (ts(400), "a"))
+    val out = StreamRunner.run(s, Seq(b1, b2)) { ds =>
+      ds.toDF("ts", "v").withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+        .select($"window.start".as("w"), $"n")
+    }
+    val rows = out.collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // the 00:00 window was finalized (count 1) before the late event arrived
+    assert(rows.get(ts(0)).contains(1L))
+  }
+}
