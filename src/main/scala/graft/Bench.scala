@@ -1,9 +1,23 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries (SURVEY §6) against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is forced
+  * end-to-end with a noop-format write (`.count()` alone lets Spark
+  * shortcut scans via metadata); a warmup action is excluded so times
+  * measure the queries, not JVM/session startup.
+  */
 object Bench {
+  private val headliners = Seq(
+    "q1_agg", "q3_join_agg", "q5_multi_join", "q9_window_rank",
+    "q18_asof_join", "q22_sessionize", "t2_quality_score", "d2_minhash_lsh",
+    "d4_simhash", "s1_bruteforce_topk", "a3_txn_conditional_state",
+    "a6_event_time_sort")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,15 +27,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warmup: session, codegen, parquet footers and page cache (a bare
+    // count() is metadata-only and warms nothing)
+    import org.apache.spark.sql.functions.sum
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(sum("l_quantity")).collect()
+
+    val results = headliners.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,13 @@ object Text {
   def tokens(c: Column): Column =
     filter(split(normText(c), " "), t => t =!= "")
 
-  /** Word n-gram shingles (space-joined), empty array when too short. */
+  /** Word n-gram shingles (space-joined), empty array when too short.
+    *
+    * PASS A BOUND ATTRIBUTE (`withColumn("toks", tokens(...))` first), not
+    * the tokens expression tree: the `element_at` calls inside the lambda
+    * re-evaluate their array argument per output element, so an inlined
+    * tokenizer runs ~3×shingle-count times per row (measured 8× slowdown).
+    */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -29,9 +35,26 @@ object Text {
   def stopwordHits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => t.isin(stops.map(lit): _*)))
 
-  /** One minhash signature: lexicographic min of seed-prefixed md5. */
-  def minhashSig(shingle: Column, seed: Int): Column =
-    min(md5(concat(lit(s"$seed|"), shingle)))
+  /** MinHash via one md5 per shingle + a two-chunk universal hash family:
+    * u1/u2 are the first two 32-bit words of the digest; signature i is
+    * `min((u1*P1_i + u2*P2_i + i) mod 2^31-1)`. One digest feeds all
+    * signatures (Spark's per-call md5 is ~20× DuckDB's, so digests are the
+    * scarce resource); products stay < 2^43 so the arithmetic is exact in
+    * both engines.
+    */
+  val MinhashP1: Seq[Int] = Seq(433, 541, 641, 757, 863, 977, 1091, 1201, 1327)
+  val MinhashP2: Seq[Int] = Seq(389, 499, 607, 727, 839, 953, 1063, 1187, 1297)
+  val MinhashMod = 2147483647L
+
+  /** (u1, u2) digest-word columns for a shingle column. */
+  def minhashWords(shingle: Column): (Column, Column) = {
+    val m = md5(shingle)
+    (conv(substring(m, 1, 8), 16, 10).cast("long"),
+      conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
+  def minhashSig(u1: Column, u2: Column, i: Int): Column =
+    min((u1 * MinhashP1(i) + u2 * MinhashP2(i) + lit(i)) % MinhashMod)
 
   val enStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "that")
   val deStops: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")
@@ -61,16 +84,18 @@ object TextSql {
   * halves h1/h2 to stay sign-safe in both engines).
   */
 object SimHash {
-  /** Per-element vote aggregates v0..v63 over an exploded string column. */
-  def voteAggs(elem: Column): Seq[Column] = {
-    val m = md5(elem)
+  /** Per-element vote aggregates v0..v63 over a PRE-COMPUTED md5 hex
+    * column (compute `md5(elem)` once per row before aggregating —
+    * Catalyst does not CSE the digest across 64 aggregate expressions,
+    * and recomputing it per bit is a 60× slowdown).
+    */
+  def voteAggs(md5Hex: Column): Seq[Column] =
     (0 until 64).map { b =>
       val k = b / 4; val j = 3 - b % 4
-      val nib = conv(substring(m, k + 1, 1), 16, 10).cast("int")
+      val nib = conv(substring(md5Hex, k + 1, 1), 16, 10).cast("int")
       val bit = shiftright(nib, j).bitwiseAND(lit(1))
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }
-  }
 
   def half(col: Int => Column, lo: Int, hi: Int, top: Int): Column =
     (lo until hi).map { b =>

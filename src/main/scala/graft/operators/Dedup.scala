@@ -39,25 +39,33 @@ object Dedup {
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", explode(Text.shingles(Text.tokens($"text"))).as("sh"))
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", explode(Text.shingles($"toks")).as("sh"))
   }
 
   /** MinHash signatures + LSH band hashes per doc. */
   private def bandRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigAggs = (0 until NumSigs).map(i => Text.minhashSig($"sh", i).as(s"sig$i"))
-    val sigs = shingleRows(s, dir).groupBy($"doc_id")
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    val (u1, u2) = Text.minhashWords($"sh")
+    val withWords = shingleRows(s, dir)
+      .withColumn("u1", u1).withColumn("u2", u2)
+    val sigAggs = (0 until NumSigs)
+      .map(i => Text.minhashSig($"u1", $"u2", i).as(s"sig$i"))
+    val sigs = withWords.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until NumBands).map { j =>
-      md5(concat((0 until BandRows).map(r => col(s"sig${BandRows * j + r}")): _*))
+      md5(concat_ws("|",
+        (0 until BandRows).map(r => col(s"sig${BandRows * j + r}").cast("string")): _*))
     }
     sigs.select($"doc_id", posexplode(array(bandCols: _*)))
       .toDF("doc_id", "bi", "bh")
   }
 
-  /** LSH candidate pairs (a_id < b_id), deduped across bands. */
+  /** LSH candidate pairs (a_id < b_id), deduped across bands. The band
+    * table is materialized once (localCheckpoint) — a naive self-join
+    * would run the whole shingle→minhash pipeline twice.
+    */
   def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val b = bandRows(s, dir)
+    val b = bandRows(s, dir).localCheckpoint(true)
     val a = b.toDF("a_id", "bi", "bh")
     val x = b.toDF("b_id", "bi2", "bh2")
     a.join(x, a("bi") === x("bi2") && a("bh") === x("bh2") && a("a_id") < x("b_id"))
@@ -68,17 +76,24 @@ object Dedup {
   def d2(s: SparkSession, dir: String): DataFrame = minhashCandidates(s, dir)
 
   val d2Sql: String = {
-    val sigs = (0 until NumSigs).map(i => s"min(md5('$i|'||sh)) AS sig$i").mkString(", ")
-    val bands = (0 until NumBands)
-      .map(j => s"md5(${(0 until BandRows).map(r => s"sig${BandRows * j + r}").mkString("||")}) AS band$j")
-      .mkString(", ")
+    val sigs = (0 until NumSigs).map { i =>
+      s"min((u1 * ${Text.MinhashP1(i)} + u2 * ${Text.MinhashP2(i)} + $i) % ${Text.MinhashMod}) AS sig$i"
+    }.mkString(", ")
+    val bands = (0 until NumBands).map { j =>
+      val parts = (0 until BandRows)
+        .map(r => s"CAST(sig${BandRows * j + r} AS VARCHAR)").mkString("||'|'||")
+      s"md5($parts) AS band$j"
+    }.mkString(", ")
     val stack = (0 until NumBands)
       .map(j => s"SELECT doc_id, $j AS bi, band$j AS bh FROM band")
       .mkString(" UNION ALL ")
     s"""
     WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest(${TextSql.shingles("toks")}) AS sh FROM tok),
-    sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+    u AS (SELECT doc_id,
+      CAST(('0x'||substring(md5(sh),1,8))::UBIGINT AS BIGINT) AS u1,
+      CAST(('0x'||substring(md5(sh),9,8))::UBIGINT AS BIGINT) AS u2 FROM sh),
+    sig AS (SELECT doc_id, $sigs FROM u GROUP BY doc_id),
     band AS (SELECT doc_id, $bands FROM sig),
     b AS ($stack)
     SELECT DISTINCT a.doc_id AS a_id, x.doc_id AS b_id
@@ -89,8 +104,9 @@ object Dedup {
   def d3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
-        array_distinct(Text.shingles(Text.tokens($"text"))).as("shingles"))
+        array_distinct(Text.shingles($"toks")).as("shingles"))
     val cands = minhashCandidates(s, dir)
     cands
       .join(sh.toDF("a_id", "a_sh"), "a_id")
@@ -113,9 +129,11 @@ object Dedup {
   def simhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val distinctShingles = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
-        explode(array_distinct(Text.shingles(Text.tokens($"text")))).as("sh"))
-    val aggs = SimHash.voteAggs($"sh")
+        explode(array_distinct(Text.shingles($"toks"))).as("sh"))
+      .withColumn("m", md5($"sh")) // digest once; 64 aggs read nibbles
+    val aggs = SimHash.voteAggs($"m")
     val votes = distinctShingles.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
     votes.select($"doc_id",
       SimHash.half(b => col(s"v$b"), 0, 32, 31).as("h1"),
@@ -125,7 +143,7 @@ object Dedup {
   /** d4: SimHash near-dup pairs at Hamming <= 12 (of 64 bits). */
   def d4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sim = simhashes(s, dir)
+    val sim = simhashes(s, dir).localCheckpoint(true)
     val a = sim.toDF("a_id", "a_h1", "a_h2")
     val b = sim.toDF("b_id", "b_h1", "b_h2")
     val hamming = (expr("bit_count(a_h1 ^ b_h1)") + expr("bit_count(a_h2 ^ b_h2)"))

@@ -114,7 +114,8 @@ object TextOps {
   def t5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("sh", Text.shingles(Text.tokens($"text")))
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("sh", Text.shingles($"toks"))
       .select($"doc_id",
         size(array_distinct($"sh")).cast("long").as("n_shingles"),
         size($"sh").cast("long").as("n_total"))

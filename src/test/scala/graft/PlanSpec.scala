@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations SURVEY §4 promises must be
+  * visible in the physical plan, not just intended.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2 pushes filters and prunes columns at the parquet scan") {
+    val p = plan(Relational.q2(s, d))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    // only the 6 referenced columns reach the scan
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"))
+  }
+
+  test("q3 and q5 broadcast their dimension sides") {
+    assert(plan(Relational.q3(s, d)).contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q5(s, d))
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 3, "q5 should broadcast dims")
+  }
+
+  test("q1 uses hash aggregation with map-side partial aggregation") {
+    val p = plan(Relational.q1(s, d))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum"), "map-side combine missing")
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    sources.Tables.lineitem(s, d)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val back = s.read.parquet(out).filter(col("l_returnflag") === "R")
+    val p = plan(back)
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p.take(600))
+    val full = sources.Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R").count()
+    assert(back.count() == full)
+  }
+}
