@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(master: String = "local[32]"): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new functions.GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")

@@ -21,6 +21,11 @@ object Vec {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Native-Expression fast path (identical IEEE op order — the hash gate
+    * proves interchangeability); prefer this in hot loops.
+    */
+  def cosineFast(a: Column, b: Column): Column = CosineSimilarity(a, b)
 }
 
 /** DuckDB twins of [[Vec]] (dim is the fixed embedding width). */

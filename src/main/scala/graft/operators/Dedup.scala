@@ -175,7 +175,7 @@ object Dedup {
     val a = e.toDF("a_id", "a_emb")
     val b = e.toDF("b_id", "b_emb")
     a.join(broadcast(b), a("a_id") < b("b_id"))
-      .withColumn("cos", round(Vec.cosine($"a_emb", $"b_emb"), 6))
+      .withColumn("cos", round(Vec.cosineFast($"a_emb", $"b_emb"), 6))
       .filter($"cos" >= CosineThreshold)
       .select($"a_id", $"b_id", $"cos")
   }

@@ -36,7 +36,7 @@ object Similarity {
     val q = e.filter($"vec_id" < NumQueries).select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"))
     val scored = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
-      .withColumn("cos", round(Vec.cosine($"q_emb", $"n_emb"), 6))
+      .withColumn("cos", round(Vec.cosineFast($"q_emb", $"n_emb"), 6))
       .select($"query_id", $"neighbor_id", $"cos")
     topkPerQuery(scored)
   }
@@ -93,7 +93,7 @@ object Similarity {
       $"bucket".as("n_bucket"))
     val scored = c.join(broadcast(q),
         $"probe" === $"n_bucket" && $"query_id" =!= $"neighbor_id")
-      .withColumn("cos", round(Vec.cosine($"q_emb", $"n_emb"), 6))
+      .withColumn("cos", round(Vec.cosineFast($"q_emb", $"n_emb"), 6))
       .select($"query_id", $"neighbor_id", $"cos")
     topkPerQuery(scored)
   }
@@ -153,7 +153,7 @@ object Similarity {
       .toDF("query_id", "p_cid", "q_emb")
     val scored = assigned
       .join(broadcast(probes), $"cid" === $"p_cid" && $"query_id" =!= $"vec_id")
-      .withColumn("cos", round(Vec.cosine($"q_emb", $"emb"), 6))
+      .withColumn("cos", round(Vec.cosineFast($"q_emb", $"emb"), 6))
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos")
     topkPerQuery(scored)
   }

@@ -144,12 +144,67 @@ object TextOps {
     SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
     GROUP BY token ORDER BY n DESC, token LIMIT 20"""
 
+  /** t7: BPE-style pre-tokenizer (word runs + single non-word marks). */
+  def t7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = regexp_extract_all(lower($"text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+    Tables.documents(s, dir)
+      .withColumn("bpe", toks)
+      .select($"doc_id", size($"bpe").cast("long").as("n_bpe"),
+        size(array_distinct($"bpe")).cast("long").as("n_distinct"))
+  }
+
+  val t7Sql: String = """
+    WITH b AS (SELECT doc_id,
+      regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS bpe
+      FROM documents)
+    SELECT doc_id, CAST(len(bpe) AS BIGINT) AS n_bpe,
+      CAST(len(list_distinct(bpe)) AS BIGINT) AS n_distinct
+    FROM b"""
+
+  /** t8: TF-IDF top-3 terms per document (deterministic tiebreaks). */
+  def t8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tok = docs.withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", explode($"toks").as("token"))
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(broadcast(df), "token")
+      .withColumn("score", round($"tf" * log(lit(n * 1.0) / $"df"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"token", $"score", $"rnk")
+  }
+
+  val t8Sql: String = s"""
+    WITH tok AS (SELECT doc_id, unnest(${TextSql.toks}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+        round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, score,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, token) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT doc_id, token, score, rnk FROM ranked WHERE rnk <= 3"""
+
   val queries: Map[String, Q] = Map(
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
-    "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6)
+    "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
+    "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8)
 
   val oracles: Map[String, String] = Map(
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
-    "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql)
+    "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,
+    "t7_bpe_tokens" -> t7Sql, "t8_tfidf" -> t8Sql)
 }

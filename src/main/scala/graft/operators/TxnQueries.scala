@@ -195,11 +195,39 @@ object TxnQueries {
       CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY window_start, event_type"""
 
+  /** Multi-key workload for a8 (also spec-checked against the sequential
+    * interpreter): sampled events each touch a user key and an event key.
+    */
+  def multiKeyWorkload(s: SparkSession, dir: String): Seq[TxnEngine.Txn] = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_id" % 20 === 0)
+      .select($"event_id", $"user_id", floor($"value" * 100).cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .map { case (eid, uid, v) =>
+        val k1 = s"u${uid % 50}"
+        val k2 = s"e${eid % 97}"
+        val asserts =
+          if (v % 2 == 0) Seq(TxnEngine.KeyValueOption(k1, None)) else Seq.empty
+        val updates = Seq(
+          TxnEngine.KeyValueOption(k1, Some(v.toString)),
+          TxnEngine.KeyValueOption(k2, if (v % 5 == 0) None else Some(v.toString)))
+        TxnEngine.Txn(eid, asserts, updates)
+      }.toSeq
+  }
+
+  /** a8: multi-key Calvin — generation-scheduled distributed application.
+    * Rows-only in the gate (multi-key folds aren't SQL-expressible);
+    * spec-verified against the sequential interpreter.
+    */
+  def a8(s: SparkSession, dir: String): DataFrame =
+    TxnEngine.applyMultiKey(s, multiKeyWorkload(s, dir))._1
+
   val queries: Map[String, Q] = Map(
     "a1_txn_blind_state" -> a1, "a2_txn_blind_results" -> a2,
     "a3_txn_conditional_state" -> a3, "a4_txn_conditional_results" -> a4,
     "a5_stream_txn_kv" -> a5, "a6_event_time_sort" -> a6,
-    "a7_stream_watermark_agg" -> a7)
+    "a7_stream_watermark_agg" -> a7, "a8_txn_multikey" -> a8)
 
   val oracles: Map[String, String] = Map(
     "a1_txn_blind_state" -> a1Sql, "a2_txn_blind_results" -> a2Sql,

@@ -52,6 +52,15 @@ class TxnEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("a8 multi-key workload matches the sequential oracle") {
+    val txns = TxnQueries.multiKeyWorkload(s, d)
+    val (stateDf, results) = TxnEngine.applyMultiKey(s, txns)
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    assert(results.sortBy(_.txnId) == oracleResults.sortBy(_.txnId))
+    val got = stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == oracleState)
+  }
+
   test("single-key batch fold matches the sequential oracle") {
     import s.implicits._
     val txns = TxnQueries.workload(s, d).collect().toSeq
