@@ -483,7 +483,19 @@ object Relational {
       min(ts) AS session_start, max(ts) AS session_end
     FROM sessions GROUP BY user_id, session_id"""
 
+  /** q23: HLL sketch distinct counts (approximate — rows-only in the gate;
+    * the spec bounds the error vs exact countDistinct).
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q23_approx_distinct" -> q23,
     "q1_agg" -> q1, "q2_filter_project" -> q2, "q3_join_agg" -> q3,
     "q4_broadcast_join" -> q4, "q5_multi_join" -> q5, "q6_semi_join" -> q6,
     "q7_anti_join" -> q7, "q8_outer_join" -> q8, "q9_window_rank" -> q9,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Relational, Skew}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanism specs: salting, bucketing, sketches (SURVEY §4). */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("salted join returns exactly the plain join's result") {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey")
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", "l_linenumber", 8)
+    assert(salted.count() == plain.count())
+    val pSum = plain.agg(sum(col("l_quantity") + col("o_totalprice"))).collect()(0).getDouble(0)
+    val sSum = salted.agg(sum(col("l_quantity") + col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(math.abs(pSum - sSum) < 1e-6 * math.abs(pSum))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(s, d).write.mode("overwrite")
+      .option("path", s"$wh/b_orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .option("path", s"$wh/b_lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    // force the sort-merge path (hint on a join input, not the agg) so
+    // bucketing rather than broadcast carries the join
+    val j = s.table("b_lineitem").hint("merge").join(s.table("b_orders"),
+      col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    // no shuffle on the join keys — bucket layout co-locates them (the
+    // post-join agg exchange on o_orderstatus is expected)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join should not shuffle join keys:\n" + plan.take(1500))
+    assert(j.count() > 0)
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
+  test("q23 HLL sketch is within 5% of exact distinct counts") {
+    val approx = Relational.q23(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (eo, ep)) =>
+      val (ao, ap) = approx(k)
+      assert(math.abs(ao - eo) <= math.max(2.0, 0.05 * eo), s"$k orders $ao vs $eo")
+      assert(math.abs(ap - ep) <= math.max(2.0, 0.05 * ep), s"$k parts $ap vs $ep")
+    }
+  }
+}
