@@ -353,12 +353,11 @@ object Relational {
   def q18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
-    // dedupe purchases at µs-tie granularity so the as-of pick is unique
+    // no pre-dedup groupBy: ordering purchases before clicks at equal ts
+    // and ascending by event_id makes "last purchase in frame" equal
+    // arg_max(value, event_id) per µs tie — one shuffle total
     val p = ev.filter($"event_type" === "purchase")
-      .groupBy($"user_id", $"ts")
-      .agg(max_by($"value", $"event_id").as("p_value"))
-      .select($"user_id", $"ts", $"p_value",
-        lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+      .select($"user_id", $"ts", $"value".as("p_value"), $"event_id", lit(0).as("tag"))
     val c = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts", lit(null).cast("double").as("p_value"),
         $"event_id", lit(1).as("tag"))
