@@ -197,14 +197,37 @@ object TextOps {
       FROM scored)
     SELECT doc_id, token, score, rnk FROM ranked WHERE rnk <= 3"""
 
+  /** t9: deterministic md5-bucket train/val/test split (the portable form
+    * of hash-based dataset splitting — stable under reshuffling/reruns).
+    */
+  def t9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10) % 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", bucket.as("bucket"))
+      .withColumn("split",
+        when($"bucket" === 0, "test").when($"bucket" === 1, "val")
+          .otherwise("train"))
+  }
+
+  val t9Sql: String = """
+    WITH b AS (SELECT doc_id,
+      CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,4))::UBIGINT % 10 AS BIGINT) AS bucket
+      FROM documents)
+    SELECT doc_id, bucket,
+      CASE WHEN bucket = 0 THEN 'test' WHEN bucket = 1 THEN 'val'
+           ELSE 'train' END AS split
+    FROM b"""
+
   val queries: Map[String, Q] = Map(
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
-    "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8)
+    "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9)
 
   val oracles: Map[String, String] = Map(
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,
-    "t7_bpe_tokens" -> t7Sql, "t8_tfidf" -> t8Sql)
+    "t7_bpe_tokens" -> t7Sql, "t8_tfidf" -> t8Sql, "t9_train_split" -> t9Sql)
 }

@@ -88,9 +88,61 @@ object StreamOps {
   // same output contract as batch q22
   val g2Sql: String = graft.operators.Relational.q22Sql
 
+  final case class ViewEv(v_user: Long, view_id: Long, v_ts: java.sql.Timestamp)
+  final case class ClickEv(c_user: Long, click_id: Long, c_ts: java.sql.Timestamp)
+
+  /** g3: stream-stream interval join with watermarks on both sides —
+    * views joined to same-user clicks within (0, 10 min]. Same output
+    * contract as batch q19; the range condition also bounds join state.
+    */
+  def g3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def rows(tpe: String): Seq[(Long, Long, java.sql.Timestamp)] =
+      ev.filter($"event_type" === tpe)
+        .select($"user_id", $"event_id", $"ts")
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+        .sortBy(_._3.getTime).toSeq
+    def halves[T](xs: Seq[T]): Seq[Seq[T]] = {
+      val (b1, b2) = xs.splitAt(xs.length / 2); Seq(b1, b2)
+    }
+    val views = halves(rows("view").map(r => ViewEv(r._1, r._2, r._3)))
+    val clicks = halves(rows("click").map(r => ClickEv(r._1, r._2, r._3)))
+    StreamRunner.run2(s, views, clicks) { (v, c) =>
+      v.toDF().withWatermark("v_ts", "1 hour")
+        .join(c.toDF().withWatermark("c_ts", "1 hour"),
+          expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 10 minutes"))
+        .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+    }
+  }
+
+  val g3Sql: String = graft.operators.Relational.q19Sql
+
+  /** g4: stream-static join — the event stream enriched against the static
+    * customer dimension (broadcast; no streaming state needed).
+    */
+  def g4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_mktsegment")
+    val rows = Tables.events(s, dir)
+      .select($"event_id", $"user_id").as[(Long, Long)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    StreamRunner.run(s, Seq(b1.toSeq, b2.toSeq)) { ds =>
+      ds.toDF("event_id", "user_id")
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+    }
+  }
+
+  val g4Sql: String = """
+    SELECT event_id, user_id, c_name, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey"""
+
   val queries: Map[String, Q] = Map(
-    "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2)
+    "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
+    "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4)
 
   val oracles: Map[String, String] = Map(
-    "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql)
+    "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
+    "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql)
 }

@@ -24,4 +24,26 @@ object StreamRunner {
     } finally q.stop()
     spark.table(name)
   }
+
+  /** Two-source variant (stream-stream joins): batches are fed pairwise. */
+  def run2[A: Encoder, B: Encoder](spark: SparkSession,
+      aBatches: Seq[Seq[A]], bBatches: Seq[Seq[B]],
+      outputMode: String = "append")(
+      build: (Dataset[A], Dataset[B]) => DataFrame): DataFrame = {
+    implicit val sq = spark.sqlContext
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val ma = MemoryStream[A]
+    val mb = MemoryStream[B]
+    val q = build(ma.toDS(), mb.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try {
+      aBatches.zipAll(bBatches, Seq.empty[A], Seq.empty[B]).foreach {
+        case (a, b) =>
+          if (a.nonEmpty) ma.addData(a)
+          if (b.nonEmpty) mb.addData(b)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
 }
