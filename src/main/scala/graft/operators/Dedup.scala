@@ -186,13 +186,57 @@ object Dedup {
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) >= $CosineThreshold"""
 
+  /** d6: dedup groups — connected components over the LSH near-dup pairs
+    * (every doc labeled with the smallest doc_id reachable through
+    * near-dup edges; singletons label themselves). Iterative min-label
+    * propagation, converging in diameter rounds; each round is one join.
+    */
+  def d6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashCandidates(s, dir).localCheckpoint(true)
+    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("group_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"group_id").as("n_group"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          least(coalesce($"n_group", $"group_id"), $"group_id").as("group_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
+        .filter($"group_id" =!= $"old").isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  val d6Sql: String = s"""
+    WITH RECURSIVE cand AS (${d2Sql}),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cand
+      UNION ALL SELECT b_id, a_id FROM cand),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, rc.r FROM reach rc JOIN edges e ON e.src = rc.id)
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+    FROM reach GROUP BY id"""
+
   private type QM = Map[String, Q]
   val queries: QM = Map(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
-    "d4_simhash" -> d4, "d5_embedding_neardup" -> d5)
+    "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql, "d2_minhash_lsh" -> d2Sql,
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
-    "d5_embedding_neardup" -> d5Sql)
+    "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql)
 }

@@ -61,6 +61,17 @@ class TxnEngineSpec extends AnyFunSuite {
     assert(got == oracleState)
   }
 
+  test("reference-shaped generator workload matches the sequential oracle") {
+    // same shape as the reference's TransactionGenerator: assert-absent on
+    // k keys, then write key_value — first txn touching a key wins
+    val txns = graft.streaming.TxnGenerator.generate(40, 3, numKeys = 30, seed = 9L)
+    val (stateDf, results) = TxnEngine.applyMultiKey(s, txns)
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    assert(results.sortBy(_.txnId) == oracleResults.sortBy(_.txnId))
+    assert(stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == oracleState)
+  }
+
   test("single-key batch fold matches the sequential oracle") {
     import s.implicits._
     val txns = TxnQueries.workload(s, d).collect().toSeq
