@@ -97,10 +97,35 @@ object Multimodal {
     s"SELECT doc_id, $feats FROM documents"
   }
 
+  /** m4: modality routing — sniff the payload (here: first byte of the
+    * digest stands in for magic-byte detection) and fan each modality to
+    * its own decode path; per-modality counts + size stats.
+    */
+  def m4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sniff = conv(substring(md5($"blob"), 1, 2), 16, 10).cast("int") % 3
+    mediaTable(s, dir)
+      .withColumn("modality",
+        when(sniff === 0, "image").when(sniff === 1, "audio").otherwise("video"))
+      .groupBy($"modality")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(length($"blob")).cast("long").as("total_bytes"))
+  }
+
+  val m4Sql: String = """
+    WITH r AS (SELECT
+      CASE CAST(('0x'||substring(md5(text),1,2))::UBIGINT % 3 AS INT)
+        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      strlen(text) AS len FROM documents)
+    SELECT modality, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(len) AS BIGINT) AS total_bytes
+    FROM r GROUP BY modality"""
+
   val queries: Map[String, Q] = Map(
-    "m1_binary_meta" -> m1, "m2_frame_sample" -> m2, "m3_feature_stub" -> m3)
+    "m1_binary_meta" -> m1, "m2_frame_sample" -> m2, "m3_feature_stub" -> m3,
+    "m4_modality_router" -> m4)
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql, "m2_frame_sample" -> m2Sql,
-    "m3_feature_stub" -> m3Sql)
+    "m3_feature_stub" -> m3Sql, "m4_modality_router" -> m4Sql)
 }

@@ -493,8 +493,47 @@ object Relational {
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
   }
 
+  /** q24: GROUPING SETS through the engine's SQL face (tables registered
+    * as views; same text runs on the oracle).
+    */
+  val q24Sql: String = s"""
+    SELECT o_orderstatus, o_orderpriority, ${dcountSql("1")} AS n,
+      ${dsumSql("o_totalprice")} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q24Sql)
+  }
+
+  /** q25: INTERSECT / EXCEPT set algebra. */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val building = cust.filter($"c_mktsegment" === "BUILDING" &&
+      $"c_acctbal" > 6000).select($"c_nationkey")
+    val machinery = cust.filter($"c_mktsegment" === "MACHINERY" &&
+      $"c_acctbal" > 6000).select($"c_nationkey")
+    val autoNeg = cust.filter($"c_mktsegment" === "AUTOMOBILE" &&
+      $"c_acctbal" < -500).select($"c_nationkey")
+    building.intersect(machinery).except(autoNeg)
+      .select($"c_nationkey".as("nationkey"))
+  }
+
+  val q25Sql: String = """
+    SELECT c_nationkey AS nationkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 6000
+    INTERSECT
+    SELECT c_nationkey FROM customer
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 6000
+    EXCEPT
+    SELECT c_nationkey FROM customer
+    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < -500"""
+
   val queries: Map[String, Q] = Map(
-    "q23_approx_distinct" -> q23,
+    "q23_approx_distinct" -> q23, "q24_grouping_sets" -> q24,
+    "q25_set_ops" -> q25,
     "q1_agg" -> q1, "q2_filter_project" -> q2, "q3_join_agg" -> q3,
     "q4_broadcast_join" -> q4, "q5_multi_join" -> q5, "q6_semi_join" -> q6,
     "q7_anti_join" -> q7, "q8_outer_join" -> q8, "q9_window_rank" -> q9,
@@ -505,6 +544,7 @@ object Relational {
     "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22)
 
   val oracles: Map[String, String] = Map(
+    "q24_grouping_sets" -> q24Sql, "q25_set_ops" -> q25Sql,
     "q1_agg" -> q1Sql, "q2_filter_project" -> q2Sql, "q3_join_agg" -> q3Sql,
     "q4_broadcast_join" -> q4Sql, "q5_multi_join" -> q5Sql,
     "q6_semi_join" -> q6Sql, "q7_anti_join" -> q7Sql, "q8_outer_join" -> q8Sql,
