@@ -531,9 +531,24 @@ object Relational {
     SELECT c_nationkey FROM customer
     WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < -500"""
 
+  /** q26: the custom RangeJoin plan node (graft.plans) over the same
+    * semantics as q19 — gate-checked against the identical oracle.
+    */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+    graft.plans.RangeJoin.join(v, c, "v_user", "c_user", "v_ts", "c_ts",
+        10L * 60 * 1000000)
+      .select($"v_user".as("user_id"), $"view_id", $"click_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q23_approx_distinct" -> q23, "q24_grouping_sets" -> q24,
-    "q25_set_ops" -> q25,
+    "q25_set_ops" -> q25, "q26_custom_range_join" -> q26,
     "q1_agg" -> q1, "q2_filter_project" -> q2, "q3_join_agg" -> q3,
     "q4_broadcast_join" -> q4, "q5_multi_join" -> q5, "q6_semi_join" -> q6,
     "q7_anti_join" -> q7, "q8_outer_join" -> q8, "q9_window_rank" -> q9,
@@ -545,6 +560,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q24_grouping_sets" -> q24Sql, "q25_set_ops" -> q25Sql,
+    "q26_custom_range_join" -> q19Sql,
     "q1_agg" -> q1Sql, "q2_filter_project" -> q2Sql, "q3_join_agg" -> q3Sql,
     "q4_broadcast_join" -> q4Sql, "q5_multi_join" -> q5Sql,
     "q6_semi_join" -> q6Sql, "q7_anti_join" -> q7Sql, "q8_outer_join" -> q8Sql,
