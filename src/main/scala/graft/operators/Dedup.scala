@@ -125,19 +125,21 @@ object Dedup {
             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
     FROM cand c JOIN shl a ON c.a_id = a.doc_id JOIN shl b ON c.b_id = b.doc_id"""
 
-  /** Per-doc 64-bit shingle SimHash as two sign-safe BIGINT halves. */
+  /** Per-doc 64-bit shingle SimHash as two sign-safe BIGINT halves —
+    * computed by the native [[graft.functions.SimHashAgg]] (one vote
+    * buffer per group; the 64-column expression form in [[SimHash]] is
+    * the portable twin the oracle mirrors).
+    */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val distinctShingles = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
         explode(array_distinct(Text.shingles($"toks"))).as("sh"))
-      .withColumn("m", md5($"sh")) // digest once; 64 aggs read nibbles
-    val aggs = SimHash.voteAggs($"m")
-    val votes = distinctShingles.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-    votes.select($"doc_id",
-      SimHash.half(b => col(s"v$b"), 0, 32, 31).as("h1"),
-      SimHash.half(b => col(s"v$b"), 32, 64, 63).as("h2"))
+      .withColumn("m", md5($"sh"))
+      .groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg($"m").as("h"))
+      .select($"doc_id", element_at($"h", 1).as("h1"), element_at($"h", 2).as("h2"))
   }
 
   /** d4: SimHash near-dup pairs at Hamming <= 12 (of 64 bits). */
