@@ -546,7 +546,20 @@ object Relational {
       .select($"v_user".as("user_id"), $"view_id", $"click_id")
   }
 
+  /** q27: approximate quantile sketch (rows-only; error-bounded spec). */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+        .as("approx_p"))
+      .select($"l_returnflag",
+        element_at($"approx_p", 1).as("p50"),
+        element_at($"approx_p", 2).as("p95"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q27_approx_quantile" -> q27,
     "q23_approx_distinct" -> q23, "q24_grouping_sets" -> q24,
     "q25_set_ops" -> q25, "q26_custom_range_join" -> q26,
     "q1_agg" -> q1, "q2_filter_project" -> q2, "q3_join_agg" -> q3,

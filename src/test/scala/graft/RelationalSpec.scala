@@ -9,7 +9,7 @@ class RelationalSpec extends AnyFunSuite {
   private val d = TestSpark.sf
 
   // approximate sketches are rows-only by design (spec-bounded instead)
-  private val rowsOnly = Set("q23_approx_distinct")
+  private val rowsOnly = Set("q23_approx_distinct", "q27_approx_quantile")
 
   test("every relational query has an oracle and runs non-empty") {
     Relational.queries.foreach { case (name, fn) =>

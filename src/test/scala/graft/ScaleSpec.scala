@@ -49,6 +49,20 @@ class ScaleSpec extends AnyFunSuite {
     s.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("q27 quantile sketch is within 2% of exact quantiles") {
+    val approx = Relational.q27(s, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) <= 0.02 * e50, s"$k p50 $a50 vs $e50")
+      assert(math.abs(a95 - e95) <= 0.02 * e95, s"$k p95 $a95 vs $e95")
+    }
+  }
+
   test("q23 HLL sketch is within 5% of exact distinct counts") {
     val approx = Relational.q23(s, d).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
