@@ -558,8 +558,24 @@ object Relational {
         element_at($"approx_p", 2).as("p95"))
   }
 
+  /** q28: correlated scalar subquery through the SQL face (Catalyst
+    * decorrelates it into an aggregate + join; the threshold uses the
+    * decimal-exact average so both engines compare identical doubles).
+    */
+  val q28Sql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             / count(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"""
+
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q28Sql)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q27_approx_quantile" -> q27,
+    "q27_approx_quantile" -> q27, "q28_correlated_subquery" -> q28,
     "q23_approx_distinct" -> q23, "q24_grouping_sets" -> q24,
     "q25_set_ops" -> q25, "q26_custom_range_join" -> q26,
     "q1_agg" -> q1, "q2_filter_project" -> q2, "q3_join_agg" -> q3,
@@ -573,7 +589,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q24_grouping_sets" -> q24Sql, "q25_set_ops" -> q25Sql,
-    "q26_custom_range_join" -> q19Sql,
+    "q26_custom_range_join" -> q19Sql, "q28_correlated_subquery" -> q28Sql,
     "q1_agg" -> q1Sql, "q2_filter_project" -> q2Sql, "q3_join_agg" -> q3Sql,
     "q4_broadcast_join" -> q4Sql, "q5_multi_join" -> q5Sql,
     "q6_semi_join" -> q6Sql, "q7_anti_join" -> q7Sql, "q8_outer_join" -> q8Sql,
