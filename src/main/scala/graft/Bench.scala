@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val headliners = Seq(
     "q1_agg", "q3_join_agg", "q5_multi_join", "q9_window_rank",
-    "q18_asof_join", "q22_sessionize", "t2_quality_score", "d2_minhash_lsh",
-    "d4_simhash", "s1_bruteforce_topk", "a3_txn_conditional_state",
-    "a6_event_time_sort")
+    "q18_asof_join", "q22_sessionize", "q26_custom_range_join",
+    "t2_quality_score", "t8_tfidf", "d2_minhash_lsh", "d4_simhash",
+    "d6_dedup_groups", "s1_bruteforce_topk", "m3_feature_stub",
+    "a3_txn_conditional_state", "a6_event_time_sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
