@@ -27,12 +27,15 @@ object Relational {
     import s.implicits._
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      // bind the shared product once: aggregates don't CSE, and
+      // disc_price*(1+tax) is bitwise-equal to the inlined form
+      .withColumn("disc_price", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        dsum($"disc_price").as("sum_disc_price"),
+        dsum($"disc_price" * (lit(1.0) + $"l_tax")).as("sum_charge"),
         davg($"l_quantity").as("avg_qty"),
         davg($"l_extendedprice").as("avg_price"),
         davg($"l_discount").as("avg_disc"),
