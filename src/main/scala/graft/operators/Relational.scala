@@ -577,8 +577,26 @@ object Relational {
     s.sql(q28Sql)
   }
 
+  /** q29: lead/lag navigation — next event + gap per user. */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("next_us", lead(unix_micros($"ts"), 1).over(w))
+      .select($"event_id", $"user_id", $"event_type", $"next_type",
+        ($"next_us" - unix_micros($"ts")).cast("long").as("gap_us"))
+  }
+
+  val q29Sql: String = """
+    SELECT event_id, user_id, event_type,
+      lead(event_type) OVER w AS next_type,
+      CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS BIGINT) AS gap_us
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
   val queries: Map[String, Q] = Map(
     "q27_approx_quantile" -> q27, "q28_correlated_subquery" -> q28,
+    "q29_lead_lag" -> q29,
     "q23_approx_distinct" -> q23, "q24_grouping_sets" -> q24,
     "q25_set_ops" -> q25, "q26_custom_range_join" -> q26,
     "q1_agg" -> q1, "q2_filter_project" -> q2, "q3_join_agg" -> q3,
@@ -593,6 +611,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q24_grouping_sets" -> q24Sql, "q25_set_ops" -> q25Sql,
     "q26_custom_range_join" -> q19Sql, "q28_correlated_subquery" -> q28Sql,
+    "q29_lead_lag" -> q29Sql,
     "q1_agg" -> q1Sql, "q2_filter_project" -> q2Sql, "q3_join_agg" -> q3Sql,
     "q4_broadcast_join" -> q4Sql, "q5_multi_join" -> q5Sql,
     "q6_semi_join" -> q6Sql, "q7_anti_join" -> q7Sql, "q8_outer_join" -> q8Sql,
