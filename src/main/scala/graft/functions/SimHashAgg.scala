@@ -34,6 +34,9 @@ case class SimHashAgg(child: Expression,
     val v = child.eval(input)
     if (v != null) {
       val hex = v.asInstanceOf[UTF8String].getBytes
+      require(hex.length >= 16,
+        s"SimHashAgg input must be an md5 hex digest (>= 16 hex chars); " +
+          s"got ${hex.length} chars")
       var b = 0
       while (b < 64) {
         val nib = nibble(hex(b / 4))

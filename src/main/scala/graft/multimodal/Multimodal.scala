@@ -53,8 +53,13 @@ object Multimodal {
   val m1Sql: String =
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS blob_md5 FROM documents"
 
-  /** m2: fixed-stride frame sampling from the payload (64-byte frames at
+  /** m2: fixed-stride frame sampling from the payload (64-unit frames at
     * stride 128), per-frame digests — the frame-extraction plan shape.
+    * Frame offsets are **character-based on both sides** (Spark
+    * `length`/`substr` ≡ DuckDB `length`/`substring`; DuckDB cannot slice
+    * BLOBs, so byte semantics isn't oracle-expressible); the md5 then
+    * hashes the frame's UTF-8 bytes identically in both engines, so the
+    * gate holds for non-ASCII text too.
     */
   def m2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -74,8 +79,8 @@ object Multimodal {
     SELECT doc_id, i AS frame_idx,
       md5(substring(text, CAST(1 + i*128 AS INT), 64)) AS frame_md5
     FROM documents,
-      unnest(range(0, CAST(floor((strlen(text)-64)/128) AS BIGINT) + 1)) AS u(i)
-    WHERE strlen(text) >= 64"""
+      unnest(range(0, CAST(floor((length(text)-64)/128) AS BIGINT) + 1)) AS u(i)
+    WHERE length(text) >= 64"""
 
   /** m3: partition-parallel batch decode→feature-extract via mapPartitions
     * (the decoder is [[StubDecoder]] — see its scaladoc).

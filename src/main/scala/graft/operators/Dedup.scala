@@ -190,8 +190,10 @@ object Dedup {
 
   /** d6: dedup groups — connected components over the LSH near-dup pairs
     * (every doc labeled with the smallest doc_id reachable through
-    * near-dup edges; singletons label themselves). Iterative min-label
-    * propagation, converging in diameter rounds; each round is one join.
+    * near-dup edges; singletons label themselves). Min-label propagation
+    * with a pointer-doubling shortcut each round (`group_id :=
+    * label(group_id)`), so convergence is O(log diameter) rounds; a
+    * non-converged exit throws rather than returning wrong labels.
     */
   def d6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -203,20 +205,31 @@ object Dedup {
       .select($"doc_id", $"doc_id".as("group_id"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 25 // log2(diameter) rounds suffice; 2^25 ≫ any corpus
+    while (!converged && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"group_id").as("n_group"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left_outer")
+      val prop = labels.join(viaEdges, Seq("doc_id"), "left_outer")
         .select($"doc_id",
           least(coalesce($"n_group", $"group_id"), $"group_id").as("group_id"))
+        .localCheckpoint(true)
+      // pointer doubling: every label is itself a doc_id, so jump to the
+      // label's label (always <= the label) — halves remaining chain depth
+      val next = prop.join(
+          prop.select($"doc_id".as("group_id"), $"group_id".as("gg")),
+          Seq("group_id"), "left_outer")
+        .select($"doc_id", coalesce($"gg", $"group_id").as("group_id"))
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
         .filter($"group_id" =!= $"old").isEmpty
       labels = next
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"d6 label propagation did not converge within $maxRounds rounds; " +
+        "component labels would be incorrect")
     labels
   }
 

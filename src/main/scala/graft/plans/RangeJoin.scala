@@ -73,9 +73,12 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
 
       new Iterator[InternalRow] {
         private var outBuf: Iterator[InternalRow] = Iterator.empty
-        // right rows (copied) + times for the key currently being merged
+        // right rows (copied) + times for the key currently being merged;
+        // times are materialized to a plain Array ONCE per key so each left
+        // row's binary search / emission is allocation-free (O(log R + hits))
         private val rRows = new ArrayBuffer[InternalRow]
-        private val rTimes = new ArrayBuffer[Long]
+        private val rTimesBuf = new ArrayBuffer[Long]
+        private var rTimes: Array[Long] = Array.emptyLongArray
         private var curKey = 0L
         private var haveKey = false
 
@@ -83,7 +86,7 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
           e.eval(row).asInstanceOf[java.lang.Long]
 
         private def loadKey(k: Long): Unit = {
-          rRows.clear(); rTimes.clear()
+          rRows.clear(); rTimesBuf.clear()
           // skip right keys < k
           while (rIt.hasNext && {
             val rk = keyOf(rIt.head, rkB); rk == null || rk < k
@@ -95,9 +98,10 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
             val t = rtB.eval(r)
             if (t != null) {
               rRows += r.copy()
-              rTimes += t.asInstanceOf[Long]
+              rTimesBuf += t.asInstanceOf[Long]
             }
           }
+          rTimes = rTimesBuf.toArray
           curKey = k; haveKey = true
         }
 
@@ -110,15 +114,15 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
               if (!haveKey || curKey != k.longValue()) loadKey(k)
               val lt = t0.asInstanceOf[Long]
               // first right index with time > lt (times sorted ascending)
-              var lo = java.util.Arrays.binarySearch(rTimes.toArray, lt)
+              var lo = java.util.Arrays.binarySearch(rTimes, lt)
               if (lo < 0) lo = -lo - 1
               else { while (lo < rTimes.length && rTimes(lo) == lt) lo += 1 }
               var hi = lo
               while (hi < rTimes.length && rTimes(hi) <= lt + w) hi += 1
               if (hi > lo) {
                 val lCopy = l.copy()
-                outBuf = rRows.slice(lo, hi).iterator
-                  .map(r => proj(joined(lCopy, r)))
+                outBuf = Iterator.range(lo, hi)
+                  .map(i => proj(joined(lCopy, rRows(i))))
               }
             }
           }
