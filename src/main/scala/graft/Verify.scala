@@ -8,6 +8,9 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run only these queries (dev loop); driver passes 2
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new functions.GraftExtensions)

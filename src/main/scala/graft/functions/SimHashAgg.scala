@@ -34,9 +34,16 @@ case class SimHashAgg(child: Expression,
     val v = child.eval(input)
     if (v != null) {
       val hex = v.asInstanceOf[UTF8String].getBytes
-      require(hex.length >= 16,
-        s"SimHashAgg input must be an md5 hex digest (>= 16 hex chars); " +
-          s"got ${hex.length} chars")
+      require(hex.length == 32,
+        s"SimHashAgg input must be a full md5 hex digest (32 bytes); " +
+          s"got ${hex.length} bytes")
+      var i = 0
+      while (i < 16) {
+        val c = hex(i)
+        require((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'),
+          s"SimHashAgg input must be lowercase hex; got byte ${c.toInt} at $i")
+        i += 1
+      }
       var b = 0
       while (b < 64) {
         val nib = nibble(hex(b / 4))

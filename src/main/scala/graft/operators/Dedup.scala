@@ -7,11 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication family (SURVEY §2 D).
   *
-  * Scale posture: d1/d2/d4 are linear maps + keyed joins (LSH bands or hash
-  * buckets are the shuffle keys — pair counts stay bounded by bucket size);
-  * d3 verifies only the LSH candidate set; d5's all-pairs form is exact
-  * verification — at fleet scale the candidate set comes from s2's LSH
-  * buckets first.
+  * Scale posture: every query here is linear maps + keyed equi-joins — the
+  * join keys are LSH band hashes (d2/d3/d6), Hamming-pigeonhole signature
+  * blocks (d4), or hyperplane bucket ids (d5) — so pair counts stay
+  * bounded by bucket occupancy; no all-pairs or broadcast-NLJ shapes.
   */
 object Dedup {
   private type Q = (SparkSession, String) => DataFrame
@@ -142,18 +141,54 @@ object Dedup {
       .select($"doc_id", element_at($"h", 1).as("h1"), element_at($"h", 2).as("h2"))
   }
 
-  /** d4: SimHash near-dup pairs at Hamming <= 12 (of 64 bits). */
+  /** Disjoint block sizes covering the 64 signature bits: 7 blocks over h1
+    * (32 bits) + 6 over h2 = 13 = SimHashMaxHamming + 1, so pigeonhole
+    * guarantees any pair at Hamming <= 12 agrees on at least one whole
+    * block.
+    */
+  private val H1Blocks = Seq(5, 5, 5, 5, 4, 4, 4)
+  private val H2Blocks = Seq(6, 6, 5, 5, 5, 5)
+
+  /** One struct(block_idx, block_bits) per signature block. */
+  private def simhashBlocks(h1: Column, h2: Column): Seq[Column] = {
+    val halves = Seq((h1, H1Blocks), (h2, H2Blocks))
+    var idx = -1
+    halves.flatMap { case (h, sizes) =>
+      var off = 0
+      sizes.map { sz =>
+        idx += 1
+        val bits = shiftrightunsigned(h, off).bitwiseAND(lit((1L << sz) - 1))
+        off += sz
+        struct(lit(idx).as("bi"), bits.as("bv"))
+      }
+    }
+  }
+
+  /** d4: SimHash near-dup pairs at Hamming <= 12 (of 64 bits).
+    *
+    * Scale-safe candidate generation by Hamming pigeonhole: the signature
+    * is split into 13 disjoint blocks and candidates come from an
+    * *equi-join* on (block_idx, block_bits) — recall is exactly 1.0 for
+    * Hamming <= 12 (a differing pair can spoil at most 12 blocks), and the
+    * per-key join work is bounded by block-bucket occupancy rather than
+    * O(N²) all-pairs. Exact Hamming is then verified on the candidates.
+    */
   def d4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sim = simhashes(s, dir).localCheckpoint(true)
-    val a = sim.toDF("a_id", "a_h1", "a_h2")
-    val b = sim.toDF("b_id", "b_h1", "b_h2")
+    val blk = sim
+      .select($"doc_id", $"h1", $"h2",
+        explode(array(simhashBlocks($"h1", $"h2"): _*)).as("blk"))
+      .select($"doc_id", $"h1", $"h2", $"blk.bi", $"blk.bv")
+    val a = blk.toDF("a_id", "a_h1", "a_h2", "bi", "bv")
+    val b = blk.toDF("b_id", "b_h1", "b_h2", "bi2", "bv2")
     val hamming = (expr("bit_count(a_h1 ^ b_h1)") + expr("bit_count(a_h2 ^ b_h2)"))
       .cast("long")
-    a.join(broadcast(b), a("a_id") < b("b_id"))
+    a.join(b, a("bi") === b("bi2") && a("bv") === b("bv2") && a("a_id") < b("b_id"))
       .withColumn("hamming", hamming)
       .filter($"hamming" <= SimHashMaxHamming)
       .select($"a_id", $"b_id", $"hamming")
+      .distinct()
   }
 
   val d4Sql: String = {
@@ -170,23 +205,56 @@ object Dedup {
     WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= $SimHashMaxHamming"""
   }
 
-  /** d5: embedding-cosine near-dup pairs (exact verification form). */
+  /** d5: embedding-cosine near-dup pairs, LSH-gated: candidates share a
+    * random-hyperplane bucket up to Hamming 2 (multi-probe, the same
+    * deterministic md5-derived planes as [[Similarity.s2]]), then exact
+    * cosine verifies each candidate. The bucket id is the equi-join key, so
+    * pair work is bounded by bucket occupancy instead of O(N²); the DuckDB
+    * oracle reproduces the identical bucket ids (per-row IEEE dot products
+    * are bitwise-equal across engines), so the gate stays a full hash
+    * match.
+    */
   def d5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    val a = e.toDF("a_id", "a_emb")
-    val b = e.toDF("b_id", "b_emb")
-    a.join(broadcast(b), a("a_id") < b("b_id"))
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        Similarity.bucketCol($"embedding").as("bucket"))
+      .localCheckpoint(true)
+    // probe every bucket within Hamming <= 2 (1 + 6 + 15 = 22 masks); a
+    // pair at bucket Hamming <= 2 matches on exactly one probe (the mask =
+    // the buckets' xor), so no post-join dedup is needed
+    val flips = (0 until (1 << Similarity.NumPlanes))
+      .filter(m => Integer.bitCount(m) <= 2).map(lit)
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_emb"),
+      explode(array(flips.map($"bucket".bitwiseXOR(_)): _*)).as("probe"))
+    val b = e.toDF("b_id", "b_emb", "b_bucket")
+    a.join(b, $"probe" === $"b_bucket" && $"a_id" < $"b_id")
       .withColumn("cos", round(Vec.cosineFast($"a_emb", $"b_emb"), 6))
       .filter($"cos" >= CosineThreshold)
       .select($"a_id", $"b_id", $"cos")
   }
 
-  val d5Sql: String = s"""
+  val d5Sql: String = {
+    val planeRows = Similarity.planeWeights.zipWithIndex.map { case (w, p) =>
+      s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(", ")
+    val dot =
+      "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"
+    s"""
+    WITH planes(p, w) AS (VALUES $planeRows),
+    bkt AS (
+      SELECT e.vec_id,
+        CAST(sum(CASE WHEN $dot >= 0 THEN 1 << p.p ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+    v AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN bkt b USING (vec_id))
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+      AND bit_count(xor(a.bucket, b.bucket)) <= 2
     WHERE round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) >= $CosineThreshold"""
+  }
 
   /** d6: dedup groups — connected components over the LSH near-dup pairs
     * (every doc labeled with the smallest doc_id reachable through

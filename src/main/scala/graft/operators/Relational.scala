@@ -435,7 +435,10 @@ object Relational {
     val thr = li.groupBy($"l_partkey".as("t_partkey"))
       .agg((sum($"l_quantity".cast(Exact)).cast("double") /
         count($"l_quantity") * 0.2).as("thr"))
-    li.join(broadcast(thr), $"l_partkey" === $"t_partkey")
+    // no broadcast hint: `thr` has one row per l_partkey (grows with the
+    // fact table) — let it shuffle on partkey; AQE may still pick broadcast
+    // when runtime stats allow
+    li.join(thr, $"l_partkey" === $"t_partkey")
       .filter($"l_quantity" < $"thr")
       .agg((round(sum($"l_extendedprice".cast(Exact)).cast("double") / 7.0, 2))
         .cast("double").as("avg_yearly"))

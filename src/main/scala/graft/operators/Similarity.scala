@@ -66,8 +66,10 @@ object Similarity {
     }
   }
 
-  /** Sign-bit bucket id for one embedding column. */
-  private def bucketCol(emb: Column): Column =
+  /** Sign-bit bucket id for one embedding column (shared with Dedup.d5's
+    * candidate gating).
+    */
+  private[operators] def bucketCol(emb: Column): Column =
     planeWeights.zipWithIndex.map { case (w, p) =>
       val lits = array(w.map(lit): _*)
       val dot = aggregate(zip_with(emb, lits, (x, y) => x.cast("double") * y),

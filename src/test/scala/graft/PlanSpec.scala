@@ -33,6 +33,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "map-side combine missing")
   }
 
+  test("d4 and d5 candidate joins are equi-joins, not broadcast NLJ") {
+    val p4 = plan(operators.Dedup.d4(s, d))
+    assert(!p4.contains("BroadcastNestedLoopJoin"), p4.take(400))
+    val p5 = plan(operators.Dedup.d5(s, d))
+    assert(!p5.contains("BroadcastNestedLoopJoin"), p5.take(400))
+  }
+
+  test("q21 does not broadcast its fact-keyed aggregate") {
+    val p = plan(Relational.q21(s, d))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     sources.Tables.lineitem(s, d)
