@@ -19,15 +19,34 @@ import org.apache.spark.sql.types.DecimalType
 object Portable {
   private val Exact = DecimalType(30, 10)
 
+  /** Exact decimal total as (DECIMAL(38,10) sum, non-null count), via the
+    * carry-accumulator aggregate (see [[graft.functions.ExactDecimalSum]]).
+    * The hi·2^62+lo reassembly is exact integer arithmetic on the unscaled
+    * value, so the result is identical to `sum(CAST(c AS DECIMAL(30,10)))`.
+    */
+  private def exactParts(c: Column): (Column, Column) = {
+    val st = functions.ExactDecimalSum(c.cast(Exact))
+    val unscaled = st.getField("hi").cast(DecimalType(38, 0)) *
+      lit(functions.ExactDecimalSum.Base) + st.getField("lo")
+    val total = unscaled.cast(DecimalType(38, 10)) / lit(10000000000L)
+    (total, st.getField("cnt"))
+  }
+
   /** Order-independent sum of a double expression, rounded to `scale`. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(Exact)), scale).cast("double")
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val (total, cnt) = exactParts(c)
+    when(cnt === 0, lit(null).cast("double"))
+      .otherwise(round(total, scale).cast("double"))
+  }
   def dsumSql(expr: String, scale: Int = 2): String =
     s"CAST(round(sum(CAST(($expr) AS DECIMAL(30,10))), $scale) AS DOUBLE)"
 
   /** Order-independent average (exact decimal sum / count), rounded. */
-  def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(Exact)).cast("double") / count(c), scale).cast("double")
+  def davg(c: Column, scale: Int = 4): Column = {
+    val (total, cnt) = exactParts(c)
+    when(cnt === 0, lit(null).cast("double"))
+      .otherwise(round(total.cast("double") / cnt, scale).cast("double"))
+  }
   def davgSql(expr: String, scale: Int = 4): String =
     s"CAST(round(CAST(sum(CAST(($expr) AS DECIMAL(30,10))) AS DOUBLE) / count($expr), $scale) AS DOUBLE)"
 

@@ -30,7 +30,7 @@ class PlanSpec extends AnyFunSuite {
   test("q1 uses hash aggregation with map-side partial aggregation") {
     val p = plan(Relational.q1(s, d))
     assert(p.contains("HashAggregate"))
-    assert(p.contains("partial_sum"), "map-side combine missing")
+    assert(p.contains("partial_exactdecimalsum"), "map-side combine missing")
   }
 
   test("d4 and d5 candidate joins are equi-joins, not broadcast NLJ") {
