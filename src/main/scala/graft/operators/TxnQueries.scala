@@ -197,13 +197,16 @@ object TxnQueries {
 
   /** Multi-key workload for a8 (also spec-checked against the sequential
     * interpreter): sampled events each touch a user key and an event key.
+    * Built as a distributed Dataset — the txn log never lands on the
+    * driver.
     */
-  def multiKeyWorkload(s: SparkSession, dir: String): Seq[TxnEngine.Txn] = {
+  def multiKeyWorkloadDS(s: SparkSession, dir: String)
+      : Dataset[TxnEngine.Txn] = {
     import s.implicits._
     Tables.events(s, dir)
       .filter($"event_id" % 20 === 0)
       .select($"event_id", $"user_id", floor($"value" * 100).cast("long"))
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .as[(Long, Long, Long)]
       .map { case (eid, uid, v) =>
         val k1 = s"u${uid % 50}"
         val k2 = s"e${eid % 97}"
@@ -213,15 +216,21 @@ object TxnQueries {
           TxnEngine.KeyValueOption(k1, Some(v.toString)),
           TxnEngine.KeyValueOption(k2, if (v % 5 == 0) None else Some(v.toString)))
         TxnEngine.Txn(eid, asserts, updates)
-      }.toSeq
+      }
   }
 
-  /** a8: multi-key Calvin — generation-scheduled distributed application.
-    * Rows-only in the gate (multi-key folds aren't SQL-expressible);
-    * spec-verified against the sequential interpreter.
+  /** Driver-side copy for spec oracles. */
+  def multiKeyWorkload(s: SparkSession, dir: String): Seq[TxnEngine.Txn] =
+    multiKeyWorkloadDS(s, dir).collect().sortBy(_.txnId).toSeq
+
+  /** a8: multi-key Calvin — generation-scheduled distributed application
+    * (scheduling, assert evaluation, and state merges all run as
+    * DataFrame rounds; the driver holds a round counter). Rows-only in
+    * the gate (multi-key folds aren't SQL-expressible); spec-verified
+    * against the sequential interpreter.
     */
   def a8(s: SparkSession, dir: String): DataFrame =
-    TxnEngine.applyMultiKey(s, multiKeyWorkload(s, dir))._1
+    TxnEngine.applyMultiKey(multiKeyWorkloadDS(s, dir))._1
 
   val queries: Map[String, Q] = Map(
     "a1_txn_blind_state" -> a1, "a2_txn_blind_results" -> a2,

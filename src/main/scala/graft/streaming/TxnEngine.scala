@@ -121,66 +121,128 @@ object TxnEngine {
   // Multi-key: generation scheduling + distributed application
   // ---------------------------------------------------------------------
 
-  /** Assign conflict-free generations: repeatedly take every txn that is
-    * the earliest remaining txn on *all* of its keys. Pure metadata
-    * scheduling (the Calvin sequencer/scheduler role); O(chain depth)
-    * rounds.
+  /** Txn ids that are the earliest remaining txn on *all* of their keys —
+    * one generation of the Calvin scheduler, as a distributed computation
+    * over (txn_id, key) metadata rows.
     */
-  def generations(txns: Seq[Txn]): Seq[Seq[Txn]] = {
-    val out = Seq.newBuilder[Seq[Txn]]
-    var remaining = txns.sortBy(_.txnId)
-    while (remaining.nonEmpty) {
-      val earliest: Map[Key, Long] = remaining
-        .flatMap(t => (t.asserts ++ t.updates).map(_.key -> t.txnId))
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
-      val (ready, rest) = remaining.partition(t =>
-        (t.asserts ++ t.updates).forall(kv => earliest(kv.key) == t.txnId))
-      require(ready.nonEmpty, "scheduler stalled")
-      out += ready
-      remaining = rest
-    }
-    out.result()
+  private def readyIds(remaining: DataFrame): DataFrame = {
+    val earliest = remaining.groupBy(col("key"))
+      .agg(min(col("txn_id")).as("mn"))
+    remaining.join(earliest, "key")
+      .groupBy(col("txn_id"))
+      .agg(max(when(col("txn_id") === col("mn"), 0).otherwise(1)).as("blocked"))
+      .filter(col("blocked") === 0)
+      .select(col("txn_id"))
   }
 
-  /** Apply a multi-key txn log: per generation, join asserts against the
-    * distributed state (outer join on key), gate on all-asserts-match per
-    * txn, merge successful updates back into state. State stays a
-    * DataFrame keyed by `key` throughout — the driver only ever holds txn
-    * metadata, never data rows.
+  /** Assign conflict-free generations distributed: per round, every txn
+    * that is the earliest remaining txn on all of its keys joins the
+    * current generation (the Calvin sequencer/scheduler role). Input is
+    * (txn_id, key) metadata rows; output is (txn_id, gen). O(conflict
+    * chain depth) rounds of joins; the driver holds only the round
+    * counter, never the txn set.
     */
+  def generationsDF(txnKeys: DataFrame): DataFrame = {
+    var remaining = txnKeys.localCheckpoint(true)
+    var out = txnKeys.sparkSession.emptyDataFrame
+      .select(lit(0L).as("txn_id"), lit(0).as("gen")).limit(0)
+    var gen = 0
+    while (!remaining.isEmpty) {
+      val ready = readyIds(remaining).localCheckpoint(true)
+      if (ready.isEmpty) throw new IllegalStateException("scheduler stalled")
+      out = out.union(ready.select(col("txn_id"), lit(gen).as("gen")))
+        .localCheckpoint(true)
+      remaining = remaining.join(ready, Seq("txn_id"), "left_anti")
+        .localCheckpoint(true)
+      gen += 1
+    }
+    out
+  }
+
+  /** Spec/driver convenience over [[generationsDF]]. */
+  def generations(spark: SparkSession, txns: Seq[Txn]): Seq[Seq[Txn]] = {
+    import spark.implicits._
+    val keys = txns.flatMap(t =>
+      (t.asserts ++ t.updates).map(kv => (t.txnId, kv.key))).distinct
+    val byGen = generationsDF(keys.toDF("txn_id", "key"))
+      .as[(Long, Int)].collect().groupBy(_._2)
+    val byId = txns.map(t => t.txnId -> t).toMap
+    (0 until byGen.size).map(g => byGen(g).map(r => byId(r._1)).toSeq.sortBy(_.txnId))
+  }
+
+  /** Apply a multi-key txn log, fully distributed: per scheduler round,
+    * the generation's asserts join the state (outer join on key), txns
+    * gate on all-asserts-match, and successful updates merge back into
+    * state. Scheduling metadata, per-txn results, and the KV state all
+    * stay DataFrames keyed by txn_id/key; the driver holds only the round
+    * counter and a per-round emptiness flag.
+    *
+    * Returns (final state (key, value), per-txn results (txnId,
+    * succeeded)).
+    */
+  def applyMultiKey(txns: Dataset[Txn]): (DataFrame, DataFrame) = {
+    val spark = txns.sparkSession
+    import spark.implicits._
+    val flat = txns.toDF().localCheckpoint(true)
+    val asserts = flat
+      .select(col("txnId").as("txn_id"), explode(col("asserts")).as("a"))
+      .select(col("txn_id"), col("a.key").as("key"),
+        col("a.valueOption").as("expected"))
+      .localCheckpoint(true)
+    // last update wins within a txn (reference applies updates in order)
+    val updates = flat
+      .select(col("txnId").as("txn_id"), posexplode(col("updates")).as(Seq("pos", "u")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("txn_id"), col("u.key")).orderBy(col("pos").desc)))
+      .filter(col("rn") === 1)
+      .select(col("txn_id"), col("u.key").as("key"),
+        col("u.valueOption").as("u_value"))
+      .localCheckpoint(true)
+    var remaining = flat.select(col("txnId").as("txn_id"),
+        explode(array_distinct(concat(
+          transform(col("asserts"), a => a.getField("key")),
+          transform(col("updates"), u => u.getField("key"))))).as("key"))
+      .localCheckpoint(true)
+    var state = Seq.empty[(Key, Value)].toDF("key", "value")
+    // keyless txns never enter the scheduler: vacuously successful
+    var results = flat
+      .filter(size(col("asserts")) + size(col("updates")) === 0)
+      .select(col("txnId").as("txn_id"), lit(true).as("succeeded"))
+      .localCheckpoint(true)
+    while (!remaining.isEmpty) {
+      val ready = readyIds(remaining).localCheckpoint(true)
+      if (ready.isEmpty) throw new IllegalStateException("scheduler stalled")
+      val failed = asserts.join(ready, "txn_id")
+        .join(state, Seq("key"), "left_outer")
+        .filter(!(col("expected") <=> col("value")))
+        .select(col("txn_id")).distinct()
+      results = results.union(
+          ready.join(failed.withColumn("f", lit(1)), Seq("txn_id"), "left_outer")
+            .select(col("txn_id"), col("f").isNull.as("succeeded")))
+        .localCheckpoint(true)
+      // generations are conflict-free, so ok-updates touch distinct keys
+      val up = updates.join(ready, "txn_id")
+        .join(failed, Seq("txn_id"), "left_anti")
+        .select(col("key").as("u_key"), col("u_value"))
+      state = state.join(up, col("key") === col("u_key"), "full_outer")
+        .select(coalesce(col("key"), col("u_key")).as("key"),
+          when(col("u_key").isNotNull, col("u_value"))
+            .otherwise(col("value")).as("value"))
+        .filter(col("value").isNotNull)
+        .localCheckpoint(true)
+      remaining = remaining.join(ready, Seq("txn_id"), "left_anti")
+        .localCheckpoint(true)
+    }
+    (state, results.select(col("txn_id").as("txnId"), col("succeeded")))
+  }
+
+  /** Seq-input convenience (specs): collects only the per-txn results. */
   def applyMultiKey(spark: SparkSession, txns: Seq[Txn])
       : (DataFrame, Seq[MkResult]) = {
     import spark.implicits._
-    var state = Seq.empty[(Key, Value)].toDF("key", "value")
-    val results = Seq.newBuilder[MkResult]
-    generations(txns).foreach { gen =>
-      val asserts = gen.flatMap(t =>
-        t.asserts.map(a => (t.txnId, a.key, a.valueOption.orNull)))
-        .toDF("txn_id", "key", "expected")
-      val ok: Set[Long] =
-        if (asserts.isEmpty) gen.map(_.txnId).toSet
-        else {
-          val failed = asserts.join(state, Seq("key"), "left_outer")
-            .filter(!(col("expected") <=> col("value")))
-            .select("txn_id").distinct()
-            .as[Long].collect().toSet
-          gen.map(_.txnId).toSet -- failed
-        }
-      gen.foreach(t => results += MkResult(t.txnId, ok(t.txnId)))
-      val updates = gen.filter(t => ok(t.txnId))
-        .flatMap(t => t.updates.map(u => (u.key, u.valueOption.orNull)))
-      if (updates.nonEmpty) {
-        val up = updates.toDF("u_key", "u_value")
-        state = state.join(up, col("key") === col("u_key"), "full_outer")
-          .select(coalesce(col("key"), col("u_key")).as("key"),
-            when(col("u_key").isNotNull, col("u_value"))
-              .otherwise(col("value")).as("value"))
-          .filter(col("value").isNotNull)
-        // keep the lineage shallow across generations
-        state = state.localCheckpoint(eager = true)
-      }
-    }
-    (state, results.result())
+    val (state, results) = applyMultiKey(txns.toDS())
+    (state, results.as[MkResult].collect().toSeq)
   }
 
   /** Reference oracle for specs: strictly sequential interpreter. */

@@ -37,7 +37,7 @@ class TxnEngineSpec extends AnyFunSuite {
 
   test("generations never reuse a key within a round and respect txn order") {
     val txns = randomTxns(3L, 40, 5)
-    val gens = TxnEngine.generations(txns)
+    val gens = TxnEngine.generations(s, txns)
     gens.foreach { g =>
       val ks = g.flatMap(t => (t.asserts ++ t.updates).map(_.key).distinct)
       assert(ks.distinct.size == ks.size, "key conflict within a generation")
