@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.Tables
+import graft.sources.{Tables, TxnLog}
 import graft.streaming.{StreamRunner, TxnEngine}
 import graft.streaming.TxnEngine.{Blind, Conditional, SkTxn}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -232,15 +232,67 @@ object TxnQueries {
   def a8(s: SparkSession, dir: String): DataFrame =
     TxnEngine.applyMultiKey(multiKeyWorkloadDS(s, dir))._1
 
+  /** a9: multi-key Calvin on a *stream* — the reference's feedback-loop
+    * deployment shape (multi-key txns commit continuously; state carries
+    * across micro-batches). Fed in three txnId-ordered micro-batches
+    * through [[TxnEngine.MultiKeyStream]]'s foreachBatch sink; final
+    * state must equal a8's batch result (spec proves both equal the
+    * sequential interpreter). Rows-only in the gate.
+    */
+  def a9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txns = multiKeyWorkload(s, dir)
+    val n = math.max(1, (txns.size + 2) / 3)
+    val mks = new TxnEngine.MultiKeyStream(s)
+    StreamRunner.runForeach(s, txns.grouped(n).map(_.toSeq).toSeq)(
+      (b: Dataset[TxnEngine.Txn], id: Long) => mks.processBatch(b, id))
+    mks.state.orderBy($"key")
+  }
+
+  /** a10: the Kafka-shaped deployment path end-to-end — JSON txn-log
+    * files → `readStream` → per-key streaming engine → parquet sink, with
+    * a mid-stream stop and checkpoint restart between the two halves of
+    * the log (the reference's JSON-over-Kafka topics + checkpointed job,
+    * StreamyDb.scala:180 and package.scala:61-62). Blind mode, so the
+    * final per-key state hash-matches a1's oracle SQL.
+    */
+  def a10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_a10_").toString
+    val src = s"$root/src"; val cp = s"$root/cp"; val out = s"$root/out"
+    new java.io.File(src).mkdirs()
+    val w = workload(s, dir)
+    val r = w.agg(min($"txnId"), max($"txnId")).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    def writePart(part: Int, c: org.apache.spark.sql.Column): Unit =
+      TxnLog.encode(w.filter(c)).coalesce(1)
+        .write.mode("overwrite").text(s"$src/part$part")
+    def run(): Unit = {
+      val q = TxnEngine.streamResults(
+          TxnLog.decode(s.readStream.text(s"$src/part*")), Blind)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writePart(1, $"txnId" < mid); run() // first half of the log
+    writePart(2, $"txnId" >= mid); run() // restart from the checkpoint
+    s.read.parquet(out).groupBy($"key")
+      .agg(max_by($"valueAfter", $"txnId").as("value"),
+        max($"txnId").as("last_txn_id"))
+      .select($"key", $"value", $"last_txn_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_txn_blind_state" -> a1, "a2_txn_blind_results" -> a2,
     "a3_txn_conditional_state" -> a3, "a4_txn_conditional_results" -> a4,
     "a5_stream_txn_kv" -> a5, "a6_event_time_sort" -> a6,
-    "a7_stream_watermark_agg" -> a7, "a8_txn_multikey" -> a8)
+    "a7_stream_watermark_agg" -> a7, "a8_txn_multikey" -> a8,
+    "a9_stream_txn_multikey" -> a9, "a10_stream_file_txn" -> a10)
 
   val oracles: Map[String, String] = Map(
     "a1_txn_blind_state" -> a1Sql, "a2_txn_blind_results" -> a2Sql,
     "a3_txn_conditional_state" -> a3Sql, "a4_txn_conditional_results" -> a4Sql,
     "a5_stream_txn_kv" -> a5Sql, "a6_event_time_sort" -> a6Sql,
-    "a7_stream_watermark_agg" -> a7Sql)
+    "a7_stream_watermark_agg" -> a7Sql, "a10_stream_file_txn" -> a1Sql)
 }

@@ -25,6 +25,19 @@ object StreamRunner {
     spark.table(name)
   }
 
+  /** foreachBatch variant: feed `batches` through `f` (micro-batches are
+    * processed synchronously and in order).
+    */
+  def runForeach[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]])(
+      f: (Dataset[T], Long) => Unit): Unit = {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[T]
+    val q = ms.toDS().writeStream.foreachBatch(f).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   /** Two-source variant (stream-stream joins): batches are fed pairwise. */
   def run2[A: Encoder, B: Encoder](spark: SparkSession,
       aBatches: Seq[Seq[A]], bBatches: Seq[Seq[B]],

@@ -183,6 +183,14 @@ object TxnEngine {
   def applyMultiKey(txns: Dataset[Txn]): (DataFrame, DataFrame) = {
     val spark = txns.sparkSession
     import spark.implicits._
+    applyMultiKeyFrom(Seq.empty[(Key, Value)].toDF("key", "value"), txns)
+  }
+
+  /** [[applyMultiKey]] starting from an existing state table — the unit of
+    * work of one streaming micro-batch (see [[MultiKeyStream]]).
+    */
+  def applyMultiKeyFrom(initialState: DataFrame, txns: Dataset[Txn])
+      : (DataFrame, DataFrame) = {
     val flat = txns.toDF().localCheckpoint(true)
     val asserts = flat
       .select(col("txnId").as("txn_id"), explode(col("asserts")).as("a"))
@@ -204,7 +212,7 @@ object TxnEngine {
           transform(col("asserts"), a => a.getField("key")),
           transform(col("updates"), u => u.getField("key"))))).as("key"))
       .localCheckpoint(true)
-    var state = Seq.empty[(Key, Value)].toDF("key", "value")
+    var state = initialState
     // keyless txns never enter the scheduler: vacuously successful
     var results = flat
       .filter(size(col("asserts")) + size(col("updates")) === 0)
@@ -243,6 +251,37 @@ object TxnEngine {
     import spark.implicits._
     val (state, results) = applyMultiKey(txns.toDS())
     (state, results.as[MkResult].collect().toSeq)
+  }
+
+  /** Streaming multi-key Calvin: the Structured-Streaming analog of the
+    * reference's Kafka feedback loop (StreamyDb.scala:177-242 — results
+    * re-entering as per-key apply/release messages). There the loop runs
+    * between operators of one dataflow; here it runs between micro-batches:
+    * each batch of txns goes through the fused scheduler/apply rounds
+    * ([[applyMultiKeyFrom]]) against the distributed state carried from
+    * all previous batches. Feeding batches in txnId order reproduces the
+    * deterministic sequential semantics (proved by the spec oracle).
+    *
+    * Use as the `foreachBatch` sink of a `Dataset[Txn]` stream; the state
+    * and accumulated per-txn results stay DataFrames throughout.
+    */
+  final class MultiKeyStream(spark: SparkSession) {
+    import spark.implicits._
+    @volatile private var stateDf: DataFrame =
+      Seq.empty[(Key, Value)].toDF("key", "value")
+    @volatile private var resultsDf: DataFrame =
+      Seq.empty[(Long, Boolean)].toDF("txnId", "succeeded")
+
+    def processBatch(batch: Dataset[Txn], batchId: Long): Unit = {
+      val (st, res) = applyMultiKeyFrom(stateDf, batch)
+      stateDf = st
+      resultsDf = resultsDf.union(res).localCheckpoint(true)
+    }
+
+    /** Current KV state (key, value). */
+    def state: DataFrame = stateDf
+    /** Per-txn outcomes accumulated across all batches. */
+    def results: DataFrame = resultsDf
   }
 
   /** Reference oracle for specs: strictly sequential interpreter. */

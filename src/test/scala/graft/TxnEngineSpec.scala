@@ -72,6 +72,19 @@ class TxnEngineSpec extends AnyFunSuite {
       == oracleState)
   }
 
+  test("streaming multi-key engine matches the sequential oracle") {
+    import s.implicits._
+    val txns = randomTxns(11L, 60, 8)
+    val mks = new TxnEngine.MultiKeyStream(s)
+    StreamRunner.runForeach(s, txns.grouped(17).map(_.toSeq).toSeq)(
+      (b: org.apache.spark.sql.Dataset[Txn], id: Long) => mks.processBatch(b, id))
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    val got = mks.state.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == oracleState)
+    val gotRes = mks.results.as[MkResult].collect().toSeq
+    assert(gotRes.sortBy(_.txnId) == oracleResults.sortBy(_.txnId))
+  }
+
   test("single-key batch fold matches the sequential oracle") {
     import s.implicits._
     val txns = TxnQueries.workload(s, d).collect().toSeq
