@@ -283,7 +283,35 @@ object TxnQueries {
       .select($"key", $"value", $"last_txn_id")
   }
 
+  /** a11: a7's windowed aggregate driven by *periodic heartbeats* instead
+    * of a one-shot sentinel (the HeartBeatGenerator analog): events arrive
+    * in ts-ordered batches, each followed by a heartbeat at the batch's
+    * max event time, so the watermark advances and append-mode windows
+    * flush progressively batch-by-batch; a final far-future heartbeat
+    * flushes the tail. Same oracle as a7.
+    */
+  def a11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Heartbeats
+    val rows = Tables.events(s, dir)
+      .select($"ts", $"event_type").as[(java.sql.Timestamp, String)]
+      .collect().sortBy(r => (r._1.getTime, r._2)).toSeq
+    val nb = 4
+    val evBatches = rows.grouped(math.max(1, (rows.size + nb - 1) / nb)).toSeq
+    val hbBatches = evBatches.map(b =>
+      Seq((new java.sql.Timestamp(b.map(_._1.getTime).max), Heartbeats.Marker))) :+
+      Seq((new java.sql.Timestamp(
+        rows.map(_._1.getTime).max + 10L * 24 * 3600 * 1000), Heartbeats.Marker))
+    Heartbeats.dropHeartbeats(
+      StreamRunner.run2(s, evBatches :+ Seq.empty[(java.sql.Timestamp, String)],
+          hbBatches) { (ev, hb) =>
+        Heartbeats.windowedCounts(
+          ev.toDF("ts", "event_type"), hb.toDF("ts", "event_type"))
+      })
+  }
+
   val queries: Map[String, Q] = Map(
+    "a11_heartbeat_agg" -> a11,
     "a1_txn_blind_state" -> a1, "a2_txn_blind_results" -> a2,
     "a3_txn_conditional_state" -> a3, "a4_txn_conditional_results" -> a4,
     "a5_stream_txn_kv" -> a5, "a6_event_time_sort" -> a6,
@@ -294,5 +322,6 @@ object TxnQueries {
     "a1_txn_blind_state" -> a1Sql, "a2_txn_blind_results" -> a2Sql,
     "a3_txn_conditional_state" -> a3Sql, "a4_txn_conditional_results" -> a4Sql,
     "a5_stream_txn_kv" -> a5Sql, "a6_event_time_sort" -> a6Sql,
-    "a7_stream_watermark_agg" -> a7Sql, "a10_stream_file_txn" -> a1Sql)
+    "a7_stream_watermark_agg" -> a7Sql, "a10_stream_file_txn" -> a1Sql,
+    "a11_heartbeat_agg" -> a7Sql)
 }

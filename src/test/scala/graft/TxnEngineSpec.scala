@@ -116,6 +116,27 @@ class TxnEngineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("heartbeats flush windows while the data stream is idle") {
+    import s.implicits._
+    import graft.streaming.Heartbeats
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // data only in batch 1; batches 2-3 are pure heartbeats that advance
+    // the watermark past the 00:00 window so append mode emits it with no
+    // further data traffic (the reference HeartBeatGenerator's job)
+    val ev = Seq(Seq((ts(0), "a"), (ts(30), "b")), Seq.empty, Seq.empty)
+    val hb = Seq(Seq.empty, Seq((ts(45), Heartbeats.Marker)),
+      Seq((ts(200), Heartbeats.Marker)))
+    val out = Heartbeats.dropHeartbeats(
+      StreamRunner.run2(s, ev, hb) { (e, h) =>
+        Heartbeats.windowedCounts(e.toDF("ts", "event_type"),
+          h.toDF("ts", "event_type"))
+      })
+    val got = out.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map((ts(0), "a") -> 1L, (ts(0), "b") -> 1L))
+  }
+
   test("watermark drops late events (heartbeat analog)") {
     import s.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
