@@ -597,7 +597,57 @@ object Relational {
       CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS BIGINT) AS gap_us
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
+  /** q30: TPC-H Q2 shape — min-cost supplier per part via a correlated
+    * scalar subquery over a grouped CTE (lineitem stands in for partsupp;
+    * unit cost = min price/qty ratio, pure per-row IEEE ops + MIN so both
+    * engines compare identical doubles). Catalyst decorrelates the
+    * per-part MIN into an aggregate + join.
+    */
+  val q30Sql: String = """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT p.p_partkey AS partkey, p.p_name, s.s_name, s.s_nationkey, ps.cost
+    FROM part p JOIN ps ON ps.partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    WHERE p.p_size >= 30
+      AND ps.cost = (SELECT min(ps2.cost) FROM ps ps2
+                     WHERE ps2.partkey = p.p_partkey)"""
+
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(q30Sql)
+  }
+
+  /** q31: TPC-H Q20 shape — nested EXISTS with an inner correlated scalar
+    * subquery (suppliers who shipped a 'widget' part in above-1.9x-average
+    * quantity for that (part, supplier)). avg() stays exact: quantities
+    * are small integers, so double summation is order-independent.
+    */
+  val q31Sql: String = """
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey
+        AND l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%widget%')
+        AND l.l_quantity > (
+          SELECT 1.9 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey AND l2.l_suppkey = l.l_suppkey))"""
+
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(q31Sql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q30_min_cost_supplier" -> q30, "q31_nested_exists" -> q31,
     "q27_approx_quantile" -> q27, "q28_correlated_subquery" -> q28,
     "q29_lead_lag" -> q29,
     "q23_approx_distinct" -> q23, "q24_grouping_sets" -> q24,
@@ -612,6 +662,7 @@ object Relational {
     "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22)
 
   val oracles: Map[String, String] = Map(
+    "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,
     "q24_grouping_sets" -> q24Sql, "q25_set_ops" -> q25Sql,
     "q26_custom_range_join" -> q19Sql, "q28_correlated_subquery" -> q28Sql,
     "q29_lead_lag" -> q29Sql,
