@@ -54,49 +54,62 @@ object Similarity {
       FROM scored)
     SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK"""
 
-  /** Deterministic pseudo-random hyperplane weights from md5 nibbles. */
-  private[operators] def planeWeights: Array[Array[Double]] = {
+  val NumTables = 2 // independent LSH tables; candidates are unioned
+
+  /** Deterministic pseudo-random hyperplane weights from md5 nibbles, one
+    * plane set per hash table (table 0 keeps the original seeds — Dedup.d5
+    * and its DuckDB oracle mirror depend on them).
+    */
+  private[operators] def planeTable(t: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(NumPlanes) { p =>
       Array.tabulate(Dim) { i =>
-        val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+        val seed = if (t == 0) s"$p|$i" else s"t$t|$p|$i"
+        val hex = md.digest(seed.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
         Integer.parseInt(hex.substring(0, 1), 16) - 7.5
       }
     }
   }
 
-  /** Sign-bit bucket id for one embedding column (shared with Dedup.d5's
-    * candidate gating).
+  private[operators] def planeWeights: Array[Array[Double]] = planeTable(0)
+
+  /** Sign-bit bucket id for one embedding column (table 0 is shared with
+    * Dedup.d5's candidate gating).
     */
-  private[operators] def bucketCol(emb: Column): Column =
-    planeWeights.zipWithIndex.map { case (w, p) =>
+  private[operators] def bucketCol(emb: Column, table: Int = 0): Column =
+    planeTable(table).zipWithIndex.map { case (w, p) =>
       val lits = array(w.map(lit): _*)
       val dot = aggregate(zip_with(emb, lits, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** s2: random-hyperplane LSH ANN — multi-probe (Hamming ≤ 1) bucket
-    * candidates, then exact cosine top-k within them. Rows-only (recall
-    * spec). The bucket id is the shuffle/join key, so candidate work per
-    * query is bounded by bucket occupancy, not corpus size.
+  /** s2: random-hyperplane LSH ANN — [[NumTables]] independent hash
+    * tables, multi-probe (Hamming ≤ 2, 22 of 64 buckets) per table,
+    * candidates unioned, then exact cosine top-k within them. Rows-only
+    * (recall spec). The (table, bucket) id is the shuffle/join key, so
+    * candidate work per query is bounded by probe-set bucket occupancy,
+    * not corpus size; at larger corpora, add planes to keep occupancy
+    * flat.
     */
   def s2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol($"embedding"))
-    // probe set: own bucket + all Hamming-1 flips
-    val probeCols = lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))
-    val q = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        explode(array(probeCols.map($"bucket".bitwiseXOR(_)): _*)).as("probe"))
-    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
-      $"bucket".as("n_bucket"))
-    val scored = c.join(broadcast(q),
-        $"probe" === $"n_bucket" && $"query_id" =!= $"neighbor_id")
-      .withColumn("cos", round(Vec.cosineFast($"q_emb", $"n_emb"), 6))
-      .select($"query_id", $"neighbor_id", $"cos")
+    val probeMasks = (0 until (1 << NumPlanes))
+      .filter(m => Integer.bitCount(m) <= 2).map(lit)
+    val scored = (0 until NumTables).map { t =>
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketCol($"embedding", t))
+      val q = e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+          explode(array(probeMasks.map($"bucket".bitwiseXOR(_)): _*)).as("probe"))
+      val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
+        $"bucket".as("n_bucket"))
+      c.join(broadcast(q),
+          $"probe" === $"n_bucket" && $"query_id" =!= $"neighbor_id")
+        .withColumn("cos", round(Vec.cosineFast($"q_emb", $"n_emb"), 6))
+        .select($"query_id", $"neighbor_id", $"cos")
+    }.reduce(_ union _).distinct() // same pair in several tables: one row
     topkPerQuery(scored)
   }
 
