@@ -10,11 +10,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native SimHash aggregate (SURVEY §3 — the TypedImperativeAggregate
-  * extension point): one 64-int vote buffer per group instead of 64
-  * separate sum aggregates. Input is the md5 hex of the element; output is
-  * `array(h1, h2)` — bit b set when vote_b >= 0 — with exactly the same
-  * bit mapping as [[SimHash]]'s column/SQL forms, so the DuckDB gate
-  * proves interchangeability.
+  * extension point): one 128-int vote buffer per group instead of 128
+  * separate sum aggregates. Input is the md5 hex of the element (32
+  * nibbles = the full 128 signature bits); output is `array(h1..h4)` of
+  * sign-safe 32-bit halves — bit b set when vote_b >= 0 — with exactly
+  * the same bit mapping as [[SimHash]]'s column/SQL forms, so the DuckDB
+  * gate proves interchangeability.
   */
 case class SimHashAgg(child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -25,7 +26,8 @@ case class SimHashAgg(child: Expression,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+  override def createAggregationBuffer(): Array[Int] =
+    new Array[Int](SimHash.Bits)
 
   private def nibble(c: Byte): Int =
     if (c >= '0' && c <= '9') c - '0' else c - 'a' + 10
@@ -33,23 +35,24 @@ case class SimHashAgg(child: Expression,
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val hex = v.asInstanceOf[UTF8String].getBytes
-      require(hex.length == 32,
+      val hex = v.asInstanceOf[UTF8String]
+      require(hex.numBytes == 32,
         s"SimHashAgg input must be a full md5 hex digest (32 bytes); " +
-          s"got ${hex.length} bytes")
-      var i = 0
-      while (i < 16) {
-        val c = hex(i)
+          s"got ${hex.numBytes} bytes")
+      // one decode per hex char (validation folded in), 4 votes per nibble;
+      // (bit << 1) - 1 maps {0,1} -> {-1,+1} branch-free
+      var k = 0
+      while (k < 32) {
+        val c = hex.getByte(k)
         require((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'),
-          s"SimHashAgg input must be lowercase hex; got byte ${c.toInt} at $i")
-        i += 1
-      }
-      var b = 0
-      while (b < 64) {
-        val nib = nibble(hex(b / 4))
-        val bit = (nib >> (3 - b % 4)) & 1
-        buf(b) += (if (bit == 1) 1 else -1)
-        b += 1
+          s"SimHashAgg input must be lowercase hex; got byte ${c.toInt} at $k")
+        val nib = nibble(c)
+        val base = k << 2
+        buf(base) += (((nib >> 3) & 1) << 1) - 1
+        buf(base + 1) += (((nib >> 2) & 1) << 1) - 1
+        buf(base + 2) += (((nib >> 1) & 1) << 1) - 1
+        buf(base + 3) += ((nib & 1) << 1) - 1
+        k += 1
       }
     }
     buf
@@ -57,30 +60,29 @@ case class SimHashAgg(child: Expression,
 
   override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
     var i = 0
-    while (i < 64) { b1(i) += b2(i); i += 1 }
+    while (i < SimHash.Bits) { b1(i) += b2(i); i += 1 }
     b1
   }
 
   override def eval(buf: Array[Int]): Any = {
-    var h1 = 0L; var h2 = 0L
+    val halves = new Array[Long](SimHash.Halves)
     var b = 0
-    while (b < 32) {
-      if (buf(b) >= 0) h1 |= 1L << (31 - b)
-      if (buf(b + 32) >= 0) h2 |= 1L << (63 - (b + 32))
+    while (b < SimHash.Bits) {
+      if (buf(b) >= 0) halves(b / 32) |= 1L << (31 - b % 32)
       b += 1
     }
-    new GenericArrayData(Array(h1, h2))
+    new GenericArrayData(halves)
   }
 
   override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(64 * 4)
+    val bb = java.nio.ByteBuffer.allocate(SimHash.Bits * 4)
     buf.foreach(bb.putInt)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Int] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(64)(bb.getInt)
+    Array.fill(SimHash.Bits)(bb.getInt)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
@@ -92,7 +94,7 @@ case class SimHashAgg(child: Expression,
 }
 
 object SimHashAgg {
-  /** Column API: aggregate an md5-hex column to `array(h1, h2)`. */
+  /** Column API: aggregate an md5-hex column to `array(h1..h4)`. */
   def apply(md5Hex: Column): Column =
     bridge.column(SimHashAgg(bridge.expression(md5Hex)).toAggregateExpression())
 }

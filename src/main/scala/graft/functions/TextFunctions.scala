@@ -79,18 +79,31 @@ object TextSql {
     s"len(list_filter($toksExpr, t -> list_contains(${stopList(stops)}, t)))"
 }
 
-/** Shared 64-bit SimHash spec over md5 hex nibbles, generating the Spark
-  * Column aggregation and the DuckDB SQL from one definition (two BIGINT
-  * halves h1/h2 to stay sign-safe in both engines).
+/** Shared 128-bit SimHash spec over md5 hex nibbles (the full digest = 32
+  * nibbles = 128 signature bits), generating the Spark Column aggregation
+  * and the DuckDB SQL from one definition. The signature is carried as
+  * four sign-safe 32-bit BIGINT halves h1..h4 (bit b of the signature is
+  * bit `31 - b%32` of half `b/32`).
+  *
+  * Why 128 and not 64: per-bit flip probability between two documents is
+  * a property of their shingle overlap, independent of signature length —
+  * so doubling the bits doubles the Hamming radius of true near-dups but
+  * also doubles the *separation* from random pairs (measured on the test
+  * corpus: planted ~0.98-jaccard dups sit at Hamming 3–20 of 128 while
+  * random pairs center at ~54), which is what lets the pigeonhole blocks
+  * be wide enough to prune.
   */
 object SimHash {
-  /** Per-element vote aggregates v0..v63 over a PRE-COMPUTED md5 hex
+  val Bits = 128
+  val Halves = 4
+
+  /** Per-element vote aggregates v0..v127 over a PRE-COMPUTED md5 hex
     * column (compute `md5(elem)` once per row before aggregating —
-    * Catalyst does not CSE the digest across 64 aggregate expressions,
+    * Catalyst does not CSE the digest across the aggregate expressions,
     * and recomputing it per bit is a 60× slowdown).
     */
   def voteAggs(md5Hex: Column): Seq[Column] =
-    (0 until 64).map { b =>
+    (0 until Bits).map { b =>
       val k = b / 4; val j = 3 - b % 4
       val nib = conv(substring(md5Hex, k + 1, 1), 16, 10).cast("int")
       val bit = shiftright(nib, j).bitwiseAND(lit(1))
@@ -103,7 +116,7 @@ object SimHash {
     }.reduce(_ + _)
 
   def voteAggsSql(elemExpr: String): Seq[String] =
-    (0 until 64).map { b =>
+    (0 until Bits).map { b =>
       val k = b / 4; val j = 3 - b % 4
       s"sum(CASE WHEN (((strpos('0123456789abcdef', substring(md5($elemExpr), ${k + 1}, 1)) - 1) >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
     }
@@ -112,4 +125,73 @@ object SimHash {
     (lo until hi).map { b =>
       s"(CASE WHEN v$b >= 0 THEN CAST(${1L << (top - b)} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Multi-index-Hashing block layout (Norouzi/Punjani/Fleet, "Fast Search
+    * in Hamming Space with Multi-Index Hashing", CVPR 2012 — public
+    * method): `m = radius/(SubRadius+1) + 1` disjoint blocks covering the
+    * 128 bits. A pair at Hamming <= radius must agree within [[SubRadius]]
+    * on at least one block (if every block differed by >= SubRadius+1 bits
+    * the total would be >= m*(SubRadius+1) > radius), so an equi-join of
+    * one side's exact block values against the other side's <=SubRadius
+    * probe set has EXACT recall while the join key stays 128/m bits wide.
+    * At the d4 default radius 20 that is 7 blocks of 18-19 bits: a random
+    * pair collides on some probe with probability
+    * 2*C(19,<=2)/2^19 + 5*C(18,<=2)/2^18 ~= 0.4% — vs ~47% for the naive
+    * radius+1 disjoint-block pigeonhole whose keys are only 128/21 bits.
+    * Returns (bitOffset, width) per block; blocks may cross the 32-bit
+    * half boundaries (see [[blockVal]]).
+    */
+  val SubRadius = 2
+  def mihBlocks(radius: Int): Seq[(Int, Int)] = {
+    require(radius >= 0 && radius < Bits, s"radius must be in [0,$Bits)")
+    val m = radius / (SubRadius + 1) + 1
+    val base = Bits / m
+    val extra = Bits - base * m
+    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(m - extra)(base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** All XOR masks at Hamming <= [[SubRadius]] of a `width`-bit block —
+    * the one-sided multi-probe set (1 + width + C(width,2) masks).
+    */
+  def probeMasks(width: Int): Seq[Long] = {
+    require(width > 0 && width <= 62, s"block width out of range: $width")
+    val pairs = for {
+      i <- 0 until width; j <- (i + 1) until width
+    } yield (1L << i) | (1L << j)
+    Seq(0L) ++ (0 until width).map(1L << _) ++ pairs
+  }
+
+  /** XOR masks at Hamming <= [[SubRadius]]/2 — the SYMMETRIC probe set:
+    * when BOTH join sides emit `bv ^ mask` for every mask here, a pair
+    * whose block differs in d <= [[SubRadius]] bits matches on some
+    * (ma, mb) split of the xor (d=0: ma=mb=0; d=1: one bit vs 0; d=2: one
+    * bit each), so recall is identical to one-sided <=[[SubRadius]]
+    * probing but each side emits only `1 + width` rows instead of
+    * `1 + width + C(width,2)` — ~10x fewer generated rows for an 18-bit
+    * block. Requires [[SubRadius]] even (it is 2).
+    */
+  def symProbeMasks(width: Int): Seq[Long] = {
+    require(width > 0 && width <= 62, s"block width out of range: $width")
+    require(SubRadius % 2 == 0, "symmetric probing needs an even SubRadius")
+    Seq(0L) ++ (0 until width).map(1L << _)
+  }
+
+  /** Value of signature bits [lo, lo+w) assembled from the four half
+    * columns (signature bit b is bit `31 - b%32` of half `b/32`); handles
+    * blocks crossing half boundaries by OR-ing per-half segments.
+    */
+  def blockVal(half: Int => Column, lo: Int, w: Int): Column = {
+    require(lo >= 0 && w > 0 && lo + w <= Bits)
+    val segs = for {
+      h <- (lo / 32) to ((lo + w - 1) / 32)
+      a = math.max(lo, 32 * h)
+      b = math.min(lo + w, 32 * h + 32)
+    } yield {
+      val seg = shiftrightunsigned(half(h), 32 * h + 32 - b)
+        .bitwiseAND(lit((1L << (b - a)) - 1))
+      shiftleft(seg, lo + w - b)
+    }
+    segs.reduce(_ bitwiseOR _)
+  }
 }

@@ -17,7 +17,10 @@ object Dedup {
   private val NumSigs = 9
   private val BandRows = 3
   private val NumBands = NumSigs / BandRows
-  val SimHashMaxHamming = 12
+  /** d4 contract radius over the 128-bit signature (measured: planted
+    * near-dups sit at Hamming 2-20, random pairs at >= ~44).
+    */
+  val SimHashMaxHamming = 20
   val CosineThreshold = 0.4
 
   /** d1: exact dedup by normalized-text fingerprint → survivors per group. */
@@ -124,85 +127,132 @@ object Dedup {
             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
     FROM cand c JOIN shl a ON c.a_id = a.doc_id JOIN shl b ON c.b_id = b.doc_id"""
 
-  /** Per-doc 64-bit shingle SimHash as two sign-safe BIGINT halves —
-    * computed by the native [[graft.functions.SimHashAgg]] (one vote
-    * buffer per group; the 64-column expression form in [[SimHash]] is
-    * the portable twin the oracle mirrors).
+  /** Per-doc 128-bit shingle SimHash as four sign-safe 32-bit BIGINT
+    * halves — computed by the native [[graft.functions.SimHashAgg]] (one
+    * vote buffer per group; the 128-column expression form in [[SimHash]]
+    * is the portable twin the oracle mirrors).
     */
-  def simhashes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    simhashesOf(Tables.documents(s, dir))
+
+  /** [[simhashes]] over any (doc_id, text) DataFrame. */
+  def simhashesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
         explode(array_distinct(Text.shingles($"toks"))).as("sh"))
       .withColumn("m", md5($"sh"))
       .groupBy($"doc_id")
       .agg(graft.functions.SimHashAgg($"m").as("h"))
-      .select($"doc_id", element_at($"h", 1).as("h1"), element_at($"h", 2).as("h2"))
+      .select(($"doc_id" +: (1 to SimHash.Halves).map(i =>
+        element_at($"h", i).as(s"h$i"))): _*)
   }
 
-  /** Disjoint block sizes covering the 64 signature bits: 7 blocks over h1
-    * (32 bits) + 6 over h2 = 13 = SimHashMaxHamming + 1, so pigeonhole
-    * guarantees any pair at Hamming <= 12 agrees on at least one whole
-    * block.
-    */
-  private val H1Blocks = Seq(5, 5, 5, 5, 4, 4, 4)
-  private val H2Blocks = Seq(6, 6, 5, 5, 5, 5)
-
-  /** One struct(block_idx, block_bits) per signature block. */
-  private def simhashBlocks(h1: Column, h2: Column): Seq[Column] = {
-    val halves = Seq((h1, H1Blocks), (h2, H2Blocks))
-    var idx = -1
-    halves.flatMap { case (h, sizes) =>
-      var off = 0
-      sizes.map { sz =>
-        idx += 1
-        val bits = shiftrightunsigned(h, off).bitwiseAND(lit((1L << sz) - 1))
-        off += sz
-        struct(lit(idx).as("bi"), bits.as("bv"))
-      }
-    }
-  }
-
-  /** d4: SimHash near-dup pairs at Hamming <= 12 (of 64 bits).
+  /** d4: SimHash near-dup pairs at Hamming <= [[SimHashMaxHamming]] (of
+    * 128 bits).
     *
-    * Scale-safe candidate generation by Hamming pigeonhole: the signature
-    * is split into 13 disjoint blocks and candidates come from an
-    * *equi-join* on (block_idx, block_bits) — recall is exactly 1.0 for
-    * Hamming <= 12 (a differing pair can spoil at most 12 blocks), and the
-    * per-key join work is bounded by block-bucket occupancy rather than
-    * O(N²) all-pairs. Exact Hamming is then verified on the candidates.
+    * Scale-safe candidate generation by multi-index Hashing
+    * ([[SimHash.mihBlocks]]): the signature splits into 7 blocks of 18-19
+    * bits; BOTH sides emit every probe value within Hamming <= 1 of each
+    * block (via a broadcast join against the ~140-row mask table — data,
+    * not expression-tree literals), and candidates come from the
+    * *equi-join* on (block_idx, probe_value). Recall is exactly 1.0 for
+    * Hamming <= 20: if all 7 blocks differed by >= 3 bits the total would
+    * be >= 21, and a block differing in d <= 2 bits matches on some
+    * (mask_a, mask_b) split of the xor ([[SimHash.symProbeMasks]]). A
+    * random pair collides with probability ~0.4% — the join key is 18-19
+    * bits wide, so candidate work is bounded by bucket occupancy, not
+    * O(N^2) all-pairs. Exact Hamming then verifies each candidate.
     */
-  def d4(s: SparkSession, dir: String): DataFrame = {
+  def d4(s: SparkSession, dir: String): DataFrame =
+    d4At(s, dir, SimHashMaxHamming)
+
+  /** [[d4]] with an explicit Hamming radius (the block/probe layout is
+    * derived from it; see [[SimHash.mihBlocks]]).
+    */
+  def d4At(s: SparkSession, dir: String, radius: Int): DataFrame =
+    simhashPairs(simhashes(s, dir), radius)
+
+  /** MIH candidate pairs pre-verification, WITH multiplicity (one row per
+    * matching (block, mask_a, mask_b) split of the xor) and with both
+    * signatures attached inline, over a MATERIALIZED (doc_id, h1..h4)
+    * signature table. Carrying the 4 signature longs on the probe rows
+    * (~2.3x wider exchange) is cheaper than two post-join signature-attach
+    * joins — with symmetric probes the probe multiset is only
+    * `(1 + width) * blocks` rows per doc, and each saved join is a whole
+    * stage + codegen unit.
+    */
+  private def mihCandidatesRaw(sim: DataFrame, radius: Int): DataFrame = {
+    val s = sim.sparkSession
     import s.implicits._
-    val sim = simhashes(s, dir).localCheckpoint(true)
-    val blk = sim
-      .select($"doc_id", $"h1", $"h2",
-        explode(array(simhashBlocks($"h1", $"h2"): _*)).as("blk"))
-      .select($"doc_id", $"h1", $"h2", $"blk.bi", $"blk.bv")
-    val a = blk.toDF("a_id", "a_h1", "a_h2", "bi", "bv")
-    val b = blk.toDF("b_id", "b_h1", "b_h2", "bi2", "bv2")
-    val hamming = (expr("bit_count(a_h1 ^ b_h1)") + expr("bit_count(a_h2 ^ b_h2)"))
-      .cast("long")
-    a.join(b, a("bi") === b("bi2") && a("bv") === b("bv2") && a("a_id") < b("b_id"))
+    val blocks = SimHash.mihBlocks(radius)
+    val blkCols = blocks.zipWithIndex.map { case ((lo, w), i) =>
+      struct(lit(i).as("bi"),
+        SimHash.blockVal(h => col(s"h${h + 1}"), lo, w).as("bv"))
+    }
+    val masks = blocks.zipWithIndex.flatMap { case ((_, w), i) =>
+      SimHash.symProbeMasks(w).map(m => (i, m))
+    }
+    val probes = sim
+      .select($"doc_id", $"h1", $"h2", $"h3", $"h4",
+        explode(array(blkCols: _*)).as("blk"))
+      .join(broadcast(masks.toDF("bi", "mask")), $"blk.bi" === $"bi")
+      .select($"doc_id", $"h1", $"h2", $"h3", $"h4", $"bi",
+        $"blk.bv".bitwiseXOR($"mask").as("probe"))
+    val a = probes.toDF("a_id", "a_h1", "a_h2", "a_h3", "a_h4", "bi", "probe")
+    val b = probes.toDF("b_id", "b_h1", "b_h2", "b_h3", "b_h4", "bi2", "probe2")
+    a.join(b, $"bi" === $"bi2" && $"probe" === $"probe2" && $"a_id" < $"b_id")
+  }
+
+  /** Distinct MIH candidate pairs over a precomputed signature table —
+    * exposed so the scale spec can assert candidate counts stay
+    * ~2^-blockWidth of all-pairs.
+    */
+  def simhashCandidates(sigs: DataFrame, radius: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
+    mihCandidatesRaw(sigs.localCheckpoint(true), radius)
+      .select($"a_id", $"b_id").distinct()
+  }
+
+  /** MIH candidate generation + exact-Hamming verify over a precomputed
+    * (doc_id, h1..h4) signature table. The distinct runs AFTER the
+    * Hamming filter — bit_count on duplicate candidate rows is per-row map
+    * work, while a pre-filter distinct would shuffle the (much larger) raw
+    * candidate multiset; post-filter only verified pairs reach the
+    * exchange.
+    */
+  def simhashPairs(sigs: DataFrame, radius: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val hamming = (1 to SimHash.Halves)
+      .map(i => expr(s"bit_count(a_h$i ^ b_h$i)")).reduce(_ + _).cast("long")
+    // sigs are eagerly materialized once: the two self-join sides are NOT
+    // deduped by ReuseExchange (their canonicalized plans differ by a
+    // projection), so an un-checkpointed plan would run the whole
+    // shingle->md5->agg pipeline twice
+    mihCandidatesRaw(sigs.localCheckpoint(true), radius)
       .withColumn("hamming", hamming)
-      .filter($"hamming" <= SimHashMaxHamming)
+      .filter($"hamming" <= radius)
       .select($"a_id", $"b_id", $"hamming")
       .distinct()
   }
 
   val d4Sql: String = {
     val votes = SimHash.voteAggsSql("sh").mkString(", ")
+    val halves = (0 until SimHash.Halves).map(h =>
+      s"${SimHash.halfSql(32 * h, 32 * h + 32, 32 * h + 31)} AS h${h + 1}")
+      .mkString(",\n            ")
+    val ham = (1 to SimHash.Halves)
+      .map(i => s"bit_count(xor(a.h$i, b.h$i))").mkString(" + ")
     s"""
     WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
     tkn AS (SELECT doc_id, unnest(list_distinct(${TextSql.shingles("toks")})) AS sh FROM tok),
     v AS (SELECT doc_id, $votes FROM tkn GROUP BY doc_id),
-    sim AS (SELECT doc_id, ${SimHash.halfSql(0, 32, 31)} AS h1,
-            ${SimHash.halfSql(32, 64, 63)} AS h2 FROM v)
+    sim AS (SELECT doc_id, $halves FROM v)
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+      CAST($ham AS BIGINT) AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= $SimHashMaxHamming"""
+    WHERE $ham <= $SimHashMaxHamming"""
   }
 
   /** d5: embedding-cosine near-dup pairs, LSH-gated: candidates share a
