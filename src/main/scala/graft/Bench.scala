@@ -49,7 +49,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ANN quality: recall vs the exact s1 baseline + exact-scored
+    // candidate counts (the cost knob), so speed never hides a broken
+    // index
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(operators.Similarity.s1(spark, sfDir))
+    val ann = Seq(
+      ("s2", pairs(operators.Similarity.s2(spark, sfDir)),
+        operators.Similarity.s2Scored(spark, sfDir).count()),
+      ("s3", pairs(operators.Similarity.s3(spark, sfDir)),
+        operators.Similarity.s3Scored(spark, sfDir).count()))
+      .map { case (n, got, cands) =>
+        val recall = (truth & got).size.toDouble / truth.size
+        f""""${n}_recall":$recall%.3f,"${n}_candidates":$cands"""
+      }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ann":$ann,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -256,38 +256,73 @@ object Dedup {
   }
 
   /** d5: embedding-cosine near-dup pairs, LSH-gated: candidates share a
-    * random-hyperplane bucket up to Hamming 2 (multi-probe, the same
-    * deterministic md5-derived planes as [[Similarity.s2]]), then exact
-    * cosine verifies each candidate. The bucket id is the equi-join key, so
-    * pair work is bounded by bucket occupancy instead of O(N²); the DuckDB
-    * oracle reproduces the identical bucket ids (per-row IEEE dot products
-    * are bitwise-equal across engines), so the gate stays a full hash
-    * match.
+    * random-hyperplane bucket up to Hamming 2 (the same deterministic
+    * md5-derived planes as [[Similarity.s2]]), then exact cosine verifies
+    * each candidate. The plane count grows with the corpus
+    * ([[Similarity.numPlanes]] ~ log2(N/4)), so bucket occupancy — and
+    * with it the candidate fraction — stays ~flat instead of a fixed
+    * 64-bucket space emitting ~1/3 of all pairs. Candidates come from a
+    * symmetric one-flip probe equi-join (both sides emit `bucket ^ mask`
+    * for the p+1 masks of Hamming <= 1: a pair at bucket-Hamming d <= 2
+    * matches on some split of the xor, exactly d4's
+    * [[SimHash.symProbeMasks]] argument), then pairs are distinct-ed at
+    * candidate scale BEFORE the 64-dim cosine work and the embeddings
+    * re-attach by id. The DuckDB oracle reproduces the identical bucket
+    * ids (per-row IEEE dot products are bitwise-equal across engines), so
+    * the gate stays a full hash match.
     */
   def d5(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding",
-        Similarity.bucketCol($"embedding").as("bucket"))
+    val e0 = Tables.embeddings(s, dir)
+    d5Of(e0, Similarity.numPlanes(e0.count()))
+  }
+
+  /** MATERIALIZED (vec_id, embedding, bucket) table for [[d5]]'s plane
+    * set — also the scale spec's entry point for synthetic corpora.
+    */
+  def d5BucketsOf(emb: DataFrame, planes: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", $"embedding",
+        Similarity.bucketCol($"embedding", 0, planes).as("bucket"))
       .localCheckpoint(true)
-    // probe every bucket within Hamming <= 2 (1 + 6 + 15 = 22 masks); a
-    // pair at bucket Hamming <= 2 matches on exactly one probe (the mask =
-    // the buckets' xor), so no post-join dedup is needed
-    val flips = (0 until (1 << Similarity.NumPlanes))
-      .filter(m => Integer.bitCount(m) <= 2).map(lit)
-    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_emb"),
-      explode(array(flips.map($"bucket".bitwiseXOR(_)): _*)).as("probe"))
-    val b = e.toDF("b_id", "b_emb", "b_bucket")
-    a.join(b, $"probe" === $"b_bucket" && $"a_id" < $"b_id")
+  }
+
+  /** [[d5]] over any (vec_id, embedding) DataFrame with an explicit plane
+    * count — the scale spec drives this with synthetic corpora.
+    */
+  def d5Of(emb: DataFrame, planes: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val e = d5BucketsOf(emb, planes)
+    val cand = d5CandidatesOf(e, planes)
+    val v = e.select($"vec_id", $"embedding")
+    cand
+      .join(v.toDF("a_id", "a_emb"), "a_id")
+      .join(v.toDF("b_id", "b_emb"), "b_id")
       .withColumn("cos", round(Vec.cosineFast($"a_emb", $"b_emb"), 6))
       .filter($"cos" >= CosineThreshold)
       .select($"a_id", $"b_id", $"cos")
   }
 
+  /** Distinct bucket-Hamming<=2 candidate pairs over a MATERIALIZED
+    * (vec_id, embedding, bucket) table — exposed for the scale spec's
+    * candidate-fraction assertion.
+    */
+  def d5CandidatesOf(e: DataFrame, planes: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val masks = (0 +: (0 until planes).map(1 << _)).map(lit)
+    val probes = e.select($"vec_id",
+      explode(array(masks.map($"bucket".bitwiseXOR(_)): _*)).as("probe"))
+    val a = probes.toDF("a_id", "probe")
+    val b = probes.toDF("b_id", "probe2")
+    a.join(b, $"probe" === $"probe2" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+  }
+
   val d5Sql: String = {
-    val planeRows = Similarity.planeWeights.zipWithIndex.map { case (w, p) =>
-      s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
-    }.mkString(", ")
+    val gatePlanes = Similarity.numPlanes(Similarity.GateN)
+    val planeRows = Similarity.planeWeights(gatePlanes).zipWithIndex
+      .map { case (w, p) =>
+        s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(", ")
     val dot =
       "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"
     s"""

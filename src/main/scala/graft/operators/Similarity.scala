@@ -18,9 +18,29 @@ object Similarity {
   val Dim = 64
   val TopK = 10
   val NumQueries = 5 // query set = vec_id < 5
-  val NumPlanes = 6 // 64 buckets; multi-probe widens recall
-  val NumCentroids = 16
-  val NProbe = 4
+
+  /** Hyperplane count from corpus size: ~log2(N / targetOccupancy) with
+    * occupancy target 4, floored at 6 — so bucket population stays ~flat
+    * as the corpus grows instead of the bucket space being a constant 64.
+    * 500 vectors (the sf0.01 gate corpus) -> 7 planes; 50k -> 14; 1e9 ->
+    * 28. The d5 oracle SQL is generated from `numPlanes(GateN)`.
+    */
+  def numPlanes(n: Long): Int =
+    math.max(6, math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
+
+  /** The driver's correctness gate runs at sf0.01, whose embeddings table
+    * has exactly this many rows; the static d5 oracle SQL mirrors the
+    * plane set for this N.
+    */
+  val GateN = 500L
+
+  /** IVF centroid count ~sqrt(N) (bounded cell occupancy ~sqrt(N)), and
+    * cells probed per query ~sqrt(k) — candidates/query ~ N^(3/4).
+    */
+  def numCentroids(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+  def nProbe(k: Int): Int =
+    math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
 
   private def topkPerQuery(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -54,15 +74,15 @@ object Similarity {
       FROM scored)
     SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK"""
 
-  val NumTables = 2 // independent LSH tables; candidates are unioned
+  val NumTables = 4 // independent LSH tables; candidates are unioned
 
   /** Deterministic pseudo-random hyperplane weights from md5 nibbles, one
     * plane set per hash table (table 0 keeps the original seeds — Dedup.d5
     * and its DuckDB oracle mirror depend on them).
     */
-  private[operators] def planeTable(t: Int): Array[Array[Double]] = {
+  private[operators] def planeTable(t: Int, planes: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes) { p =>
+    Array.tabulate(planes) { p =>
       Array.tabulate(Dim) { i =>
         val seed = if (t == 0) s"$p|$i" else s"t$t|$p|$i"
         val hex = md.digest(seed.getBytes("UTF-8"))
@@ -72,13 +92,14 @@ object Similarity {
     }
   }
 
-  private[operators] def planeWeights: Array[Array[Double]] = planeTable(0)
+  private[operators] def planeWeights(planes: Int): Array[Array[Double]] =
+    planeTable(0, planes)
 
   /** Sign-bit bucket id for one embedding column (table 0 is shared with
     * Dedup.d5's candidate gating).
     */
-  private[operators] def bucketCol(emb: Column, table: Int = 0): Column =
-    planeTable(table).zipWithIndex.map { case (w, p) =>
+  private[operators] def bucketCol(emb: Column, table: Int, planes: Int): Column =
+    planeTable(table, planes).zipWithIndex.map { case (w, p) =>
       val lits = array(w.map(lit): _*)
       val dot = aggregate(zip_with(emb, lits, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)
@@ -86,60 +107,94 @@ object Similarity {
     }.reduce(_ + _)
 
   /** s2: random-hyperplane LSH ANN — [[NumTables]] independent hash
-    * tables, multi-probe (Hamming ≤ 2, 22 of 64 buckets) per table,
+    * tables, multi-probe (Hamming <= 2 of the query's bucket) per table,
     * candidates unioned, then exact cosine top-k within them. Rows-only
-    * (recall spec). The (table, bucket) id is the shuffle/join key, so
-    * candidate work per query is bounded by probe-set bucket occupancy,
-    * not corpus size; at larger corpora, add planes to keep occupancy
-    * flat.
+    * (recall spec). The bucket id is the join key and the plane count
+    * grows with the corpus ([[numPlanes]]), so candidates/query stay
+    * ~`tables * C(p,<=2) * occupancy` ~ log^2(N) — flat bucket occupancy
+    * instead of a fixed 64-bucket space that degenerates to N/3 per
+    * query. The probe explosion is on the BOUNDED query side only (the
+    * corpus side emits exactly one bucket per table), so widening the
+    * probe radius costs probe-set size, never a corpus blowup. All four
+    * tables' buckets are computed in ONE pass over the corpus
+    * (checkpointed), not one scan per table.
     */
-  def s2(s: SparkSession, dir: String): DataFrame = {
+  def s2(s: SparkSession, dir: String): DataFrame =
+    topkPerQuery(s2Scored(s, dir))
+
+  /** The distinct exact-scored candidate set behind [[s2]] (pre-top-k) —
+    * exposed so the bench can report candidates/query next to recall.
+    */
+  def s2Scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val probeMasks = (0 until (1 << NumPlanes))
-      .filter(m => Integer.bitCount(m) <= 2).map(lit)
-    val scored = (0 until NumTables).map { t =>
-      val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketCol($"embedding", t))
+    val e0 = Tables.embeddings(s, dir)
+    val p = numPlanes(e0.count())
+    val e = e0.select(($"vec_id" +: $"embedding" +: (0 until NumTables).map(t =>
+        bucketCol($"embedding", t, p).as(s"b$t"))): _*)
+      .localCheckpoint(true)
+    val pairFlips = for { i <- 0 until p; j <- (i + 1) until p }
+      yield (1 << i) | (1 << j)
+    val masks = ((0 +: (0 until p).map(1 << _)) ++ pairFlips).map(lit)
+    (0 until NumTables).map { t =>
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-          explode(array(probeMasks.map($"bucket".bitwiseXOR(_)): _*)).as("probe"))
+          explode(array(masks.map(col(s"b$t").bitwiseXOR(_)): _*)).as("probe"))
       val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
-        $"bucket".as("n_bucket"))
+        col(s"b$t").as("n_bucket"))
       c.join(broadcast(q),
           $"probe" === $"n_bucket" && $"query_id" =!= $"neighbor_id")
         .withColumn("cos", round(Vec.cosineFast($"q_emb", $"n_emb"), 6))
         .select($"query_id", $"neighbor_id", $"cos")
     }.reduce(_ union _).distinct() // same pair in several tables: one row
-    topkPerQuery(scored)
   }
 
   /** s3: IVF — deterministic seed centroids (lowest vec_ids), Lloyd
     * refinement, nprobe-cell search. Rows-only (recall spec).
+    *
+    * k = [[numCentroids]] ~ sqrt(N) and nprobe ~ sqrt(k), so cell
+    * occupancy and candidates/query both grow sublinearly instead of the
+    * old fixed k=16 whose cells were N/16. Assignment is a broadcast
+    * cross-join against the (k, 64)-double codebook DataFrame + min_by —
+    * the N x k distance work streams through one stage regardless of k,
+    * where the previous expression-literal argmin would have blown past
+    * codegen limits at k ~ sqrt(N). Only the codebook (k x 64 doubles) and
+    * the bounded query set ever reach the driver.
     */
-  def s3(s: SparkSession, dir: String): DataFrame = {
+  def s3(s: SparkSession, dir: String): DataFrame =
+    topkPerQuery(s3Scored(s, dir))
+
+  /** The exact-scored candidate set behind [[s3]] (pre-top-k) — exposed
+    * so the bench can report candidates/query next to recall.
+    */
+  def s3Scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-    // seed: the NumCentroids lowest vec_ids (deterministic, cheap)
-    var centroids: Array[Array[Double]] = e.filter($"vec_id" < NumCentroids)
+      .localCheckpoint(true)
+    val k = numCentroids(e.count())
+    // seed: the k lowest vec_ids (deterministic, cheap)
+    var centroids: Array[Array[Double]] = e.filter($"vec_id" < k)
       .orderBy($"vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
 
-    def assignExpr(cents: Array[Array[Double]]): Column = {
-      // argmin of squared distance via fold over centroid literals
-      val dists = cents.zipWithIndex.map { case (c, i) =>
-        val lits = array(c.map(lit): _*)
-        val d2 = aggregate(zip_with($"emb", lits, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(d2.as("d"), lit(i).as("i"))
-      }
-      array_min(array(dists: _*)).getField("i")
+    // argmin over the codebook via broadcast cross-join + min(struct):
+    // ties break to the lowest cid, deterministically
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val cdf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "c_emb")
+      val dist2 = aggregate(
+        zip_with($"emb", $"c_emb", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      e.crossJoin(broadcast(cdf))
+        .withColumn("d2", dist2)
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
+          first($"emb").as("emb"))
     }
 
     // Lloyd iterations: assignment + mean per cell/dim
     for (_ <- 0 until 2) {
-      val assigned = e.withColumn("cid", assignExpr(centroids))
-      val means = assigned
+      val means = assign(centroids)
         .select($"cid", posexplode($"emb").as(Seq("dim", "x")))
         .groupBy($"cid", $"dim").agg(avg($"x").as("m"))
         .collect()
@@ -150,7 +205,7 @@ object Similarity {
       centroids = next
     }
 
-    val assigned = e.withColumn("cid", assignExpr(centroids))
+    val assigned = assign(centroids).localCheckpoint(true)
     // nprobe cells per query, computed on the driver over the tiny codebook
     val queries = assigned.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"emb".as("q_emb")).collect()
@@ -162,15 +217,14 @@ object Similarity {
     }
     val probeRows = queries.flatMap { case (qid, qe) =>
       centroids.zipWithIndex.sortBy { case (c, i) => (d2(qe, c), i) }
-        .take(NProbe).map { case (_, cid) => (qid, cid, qe) }
+        .take(nProbe(k)).map { case (_, cid) => (qid, cid, qe) }
     }
     val probes = s.createDataFrame(probeRows.toSeq)
       .toDF("query_id", "p_cid", "q_emb")
-    val scored = assigned
+    assigned
       .join(broadcast(probes), $"cid" === $"p_cid" && $"query_id" =!= $"vec_id")
       .withColumn("cos", round(Vec.cosineFast($"q_emb", $"emb"), 6))
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos")
-    topkPerQuery(scored)
   }
 
   val queries: Map[String, Q] = Map(

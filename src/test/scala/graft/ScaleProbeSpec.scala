@@ -49,6 +49,38 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(cands >= 100, s"only $cands candidates — planted twins missed?")
   }
 
+  /** Deterministic synthetic embeddings: `n` vectors of 64 dims in
+    * [-1, 1], every 100th vector followed by a near-dup twin (tiny
+    * perturbation, cosine ~0.999).
+    */
+  private def vectors(n: Int): DataFrame = {
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.newBuilder[(Long, Seq[Float])]
+    var id = 0L
+    for (i <- 0 until n) {
+      val v = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+      rows += ((id, v.toSeq)); id += 1
+      if (i % 100 == 0) {
+        val twin = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+        rows += ((id, twin.toSeq)); id += 1
+      }
+    }
+    rows.result().toDF("vec_id", "embedding").repartition(32)
+  }
+
+  test("d5 bucket candidates stay under 1% of all-pairs on a 50k-vector corpus") {
+    val emb = vectors(50000)
+    val n = emb.count()
+    val planes = operators.Similarity.numPlanes(n)
+    val e = Dedup.d5BucketsOf(emb, planes)
+    val cands = Dedup.d5CandidatesOf(e, planes).count()
+    val frac = cands / (n * (n - 1) / 2.0)
+    info(f"vectors=$n planes=$planes candidates=$cands frac=$frac%.5f")
+    assert(frac < 0.01, f"candidate fraction $frac%.5f >= 1%% of all-pairs")
+    assert(cands >= 500, s"only $cands candidates — planted twins missed?")
+  }
+
   test("d4 MIH recall is exact: pairs == brute-force Hamming pairs (1.2k docs)") {
     import s.implicits._
     val sigs = Dedup.simhashesOf(corpus(1200)).localCheckpoint(true)

@@ -38,22 +38,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(d4p == d2p, s"simhash=${d4p.size} lsh=${d2p.size}")
   }
 
-  test("s2 LSH ANN reaches recall >= 0.2 vs brute force") {
+  // thresholds are measured-with-margin: RecallProbe reports s2 at
+  // 0.82/0.84 and s3 at 0.86/0.96 (sf0.001/sf0.01) with the scaled
+  // plane/centroid counts — a nearly-broken index cannot pass these
+  test("s2 LSH ANN reaches recall >= 0.6 vs brute force") {
     val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = Similarity.s2(s, d).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & got).size.toDouble / truth.size
-    assert(recall >= 0.2, s"recall=$recall")
+    assert(recall >= 0.6, s"recall=$recall")
   }
 
-  test("s3 IVF ANN reaches recall >= 0.3 vs brute force") {
+  test("s3 IVF ANN reaches recall >= 0.7 vs brute force") {
     val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = Similarity.s3(s, d).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & got).size.toDouble / truth.size
-    assert(recall >= 0.3, s"recall=$recall")
+    assert(recall >= 0.7, s"recall=$recall")
   }
 
   test("m3 stub features are deterministic and in [0,1]") {
