@@ -191,7 +191,39 @@ object TxnEngine {
     */
   def applyMultiKeyFrom(initialState: DataFrame, txns: Dataset[Txn])
       : (DataFrame, DataFrame) = {
-    val flat = txns.toDF().localCheckpoint(true)
+    val (st, res, _) = applyMultiKeyCounted(initialState, txns)
+    (st, res)
+  }
+
+  /** One cogroup-fold emission: a state row (kind 0) or a txn result
+    * (kind 1).
+    */
+  private final case class FoldEmit(kind: Int, txnId: Long, key: Key,
+      value: Value, succeeded: Boolean)
+
+  /** [[applyMultiKeyFrom]], also returning the number of scheduler phases
+    * (the hot-key scalability metric the spec asserts on).
+    *
+    * Hot-key posture (the reference's per-key lock-waiter queues,
+    * StreamyDb.scala:66-129, let a hot key's chain drain without blocking
+    * other keys): single-key-only txns never occupy scheduler rounds.
+    * Each phase (a) FOLDS every "ready" single-key txn — one distributed
+    * `cogroup` over (state, txns) per key, applying a whole consecutive
+    * run on that key in txnId order in one pass — and (b) applies the
+    * ready multi-key generation via the join-gate-merge. A single-key txn
+    * is ready when no earlier multi-key txn remains on its key; a
+    * multi-key txn is ready when it is the earliest remaining MULTI-key
+    * txn on each of its keys (earlier ready singles fold first within the
+    * same phase, so its asserts read post-fold state). Phases therefore
+    * count the multi-key conflict depth only: a 1,000-txn single-hot-key
+    * log folds in ONE phase instead of 1,000 generation rounds.
+    */
+  def applyMultiKeyCounted(initialState: DataFrame, txns: Dataset[Txn])
+      : (DataFrame, DataFrame, Int) = {
+    val spark = txns.sparkSession
+    import spark.implicits._
+    val tds = txns.localCheckpoint(true)
+    val flat = tds.toDF()
     val asserts = flat
       .select(col("txnId").as("txn_id"), explode(col("asserts")).as("a"))
       .select(col("txn_id"), col("a.key").as("key"),
@@ -207,10 +239,15 @@ object TxnEngine {
       .select(col("txn_id"), col("u.key").as("key"),
         col("u.valueOption").as("u_value"))
       .localCheckpoint(true)
-    var remaining = flat.select(col("txnId").as("txn_id"),
-        explode(array_distinct(concat(
-          transform(col("asserts"), a => a.getField("key")),
-          transform(col("updates"), u => u.getField("key"))))).as("key"))
+    val txnKeys = flat.select(col("txnId").as("txn_id"),
+      explode(array_distinct(concat(
+        transform(col("asserts"), a => a.getField("key")),
+        transform(col("updates"), u => u.getField("key"))))).as("key"))
+    val arity = txnKeys.groupBy(col("txn_id"))
+      .agg(count(lit(1)).as("nk"))
+    var remaining = txnKeys
+      .join(arity, "txn_id")
+      .select(col("txn_id"), col("key"), (col("nk") > 1).as("is_multi"))
       .localCheckpoint(true)
     var state = initialState
     // keyless txns never enter the scheduler: vacuously successful
@@ -218,31 +255,81 @@ object TxnEngine {
       .filter(size(col("asserts")) + size(col("updates")) === 0)
       .select(col("txnId").as("txn_id"), lit(true).as("succeeded"))
       .localCheckpoint(true)
+    var phases = 0
     while (!remaining.isEmpty) {
-      val ready = readyIds(remaining).localCheckpoint(true)
-      if (ready.isEmpty) throw new IllegalStateException("scheduler stalled")
-      val failed = asserts.join(ready, "txn_id")
-        .join(state, Seq("key"), "left_outer")
-        .filter(!(col("expected") <=> col("value")))
-        .select(col("txn_id")).distinct()
-      results = results.union(
-          ready.join(failed.withColumn("f", lit(1)), Seq("txn_id"), "left_outer")
-            .select(col("txn_id"), col("f").isNull.as("succeeded")))
+      // earliest remaining MULTI-key txn per key (null if none)
+      val multiMin = remaining.filter(col("is_multi"))
+        .groupBy(col("key")).agg(min(col("txn_id")).as("mmn"))
         .localCheckpoint(true)
-      // generations are conflict-free, so ok-updates touch distinct keys
-      val up = updates.join(ready, "txn_id")
-        .join(failed, Seq("txn_id"), "left_anti")
-        .select(col("key").as("u_key"), col("u_value"))
-      state = state.join(up, col("key") === col("u_key"), "full_outer")
-        .select(coalesce(col("key"), col("u_key")).as("key"),
-          when(col("u_key").isNotNull, col("u_value"))
-            .otherwise(col("value")).as("value"))
-        .filter(col("value").isNotNull)
+      // (a) every single-key txn older than its key's earliest multi
+      val readySingles = remaining.filter(!col("is_multi"))
+        .join(multiMin, Seq("key"), "left_outer")
+        .filter(col("mmn").isNull || col("txn_id") < col("mmn"))
+        .select(col("txn_id"))
         .localCheckpoint(true)
-      remaining = remaining.join(ready, Seq("txn_id"), "left_anti")
+      if (!readySingles.isEmpty) {
+        val sk = tds.join(readySingles, tds("txnId") === col("txn_id"),
+          "left_semi").as[Txn]
+        val byKey = sk.groupByKey(t => (t.asserts ++ t.updates).head.key)
+        val touched = byKey.keys.toDF("key").localCheckpoint(true)
+        val stTouched = state.join(touched, Seq("key"), "left_semi")
+          .as[(Key, Value)]
+        val folded = stTouched.groupByKey(_._1).cogroup(byKey) {
+          (k, stIt, txIt) =>
+            var value: Option[Value] = stIt.buffered.headOption.map(_._2)
+            val out = List.newBuilder[FoldEmit]
+            txIt.toSeq.sortBy(_.txnId).foreach { t =>
+              val ok = t.asserts.forall(_.valueOption == value)
+              if (ok) t.updates.foreach(u => value = u.valueOption)
+              out += FoldEmit(1, t.txnId, k, null, ok)
+            }
+            value.foreach(v => out += FoldEmit(0, -1L, k, v, false))
+            out.result().iterator
+        }.toDF().localCheckpoint(true)
+        results = results.union(
+            folded.filter(col("kind") === 1)
+              .select(col("txnId").as("txn_id"), col("succeeded")))
+          .localCheckpoint(true)
+        state = state.join(touched, Seq("key"), "left_anti")
+          .union(folded.filter(col("kind") === 0)
+            .select(col("key"), col("value")))
+      }
+      // (b) the conflict-free multi-key generation, against post-fold state
+      val ready = remaining.filter(col("is_multi")).join(multiMin, "key")
+        .groupBy(col("txn_id"))
+        .agg(max(when(col("txn_id") === col("mmn"), 0).otherwise(1)).as("blocked"))
+        .filter(col("blocked") === 0)
+        .select(col("txn_id"))
         .localCheckpoint(true)
+      if (readySingles.isEmpty && ready.isEmpty)
+        throw new IllegalStateException("scheduler stalled")
+      if (!ready.isEmpty) {
+        val failed = asserts.join(ready, "txn_id")
+          .join(state, Seq("key"), "left_outer")
+          .filter(!(col("expected") <=> col("value")))
+          .select(col("txn_id")).distinct()
+        results = results.union(
+            ready.join(failed.withColumn("f", lit(1)), Seq("txn_id"), "left_outer")
+              .select(col("txn_id"), col("f").isNull.as("succeeded")))
+          .localCheckpoint(true)
+        // generations are conflict-free, so ok-updates touch distinct keys
+        val up = updates.join(ready, "txn_id")
+          .join(failed, Seq("txn_id"), "left_anti")
+          .select(col("key").as("u_key"), col("u_value"))
+        state = state.join(up, col("key") === col("u_key"), "full_outer")
+          .select(coalesce(col("key"), col("u_key")).as("key"),
+            when(col("u_key").isNotNull, col("u_value"))
+              .otherwise(col("value")).as("value"))
+          .filter(col("value").isNotNull)
+      }
+      state = state.localCheckpoint(true)
+      remaining = remaining
+        .join(readySingles.union(ready.toDF()), Seq("txn_id"), "left_anti")
+        .localCheckpoint(true)
+      phases += 1
     }
-    (state, results.select(col("txn_id").as("txnId"), col("succeeded")))
+    (state, results.select(col("txn_id").as("txnId"), col("succeeded")),
+      phases)
   }
 
   /** Seq-input convenience (specs): collects only the per-txn results. */
@@ -265,17 +352,69 @@ object TxnEngine {
     * Use as the `foreachBatch` sink of a `Dataset[Txn]` stream; the state
     * and accumulated per-txn results stay DataFrames throughout.
     */
-  final class MultiKeyStream(spark: SparkSession) {
+  /** @param checkpointDir when set, every committed batch persists the KV
+    *   state and that batch's results as parquet plus a commit marker —
+    *   `dir/state/&lt;batchId&gt;`, `dir/results/&lt;batchId&gt;`,
+    *   `dir/commits/&lt;batchId&gt;` (marker last, so a crash mid-write
+    *   leaves an ignorable uncommitted directory). A new instance over the
+    *   same dir restores from the highest committed batch, and
+    *   `processBatch` skips batchIds at or below it — exactly the replayed
+    *   micro-batch a restarted `foreachBatch` query re-delivers. Without
+    *   it, state lives only in executor block storage (localCheckpoint)
+    *   and dies with the session — the reference's Kafka-loop state is
+    *   replayable by design (StreamyDb.scala:177-242); this is the Spark
+    *   durable analog.
+    */
+  final class MultiKeyStream(spark: SparkSession,
+      checkpointDir: Option[String] = None) {
     import spark.implicits._
+    @volatile private var lastCommitted: Long = -1L
     @volatile private var stateDf: DataFrame =
       Seq.empty[(Key, Value)].toDF("key", "value")
     @volatile private var resultsDf: DataFrame =
       Seq.empty[(Long, Boolean)].toDF("txnId", "succeeded")
 
+    private def hadoopFs(dir: String) = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // restore from the highest committed batch, if any
+    checkpointDir.foreach { dir =>
+      val fs = hadoopFs(dir)
+      val commits = new org.apache.hadoop.fs.Path(s"$dir/commits")
+      if (fs.exists(commits)) {
+        val ids = fs.listStatus(commits).map(_.getPath.getName.toLong)
+        if (ids.nonEmpty) {
+          lastCommitted = ids.max
+          stateDf = spark.read.parquet(s"$dir/state/$lastCommitted")
+            .localCheckpoint(true)
+          resultsDf = spark.read
+            .parquet(ids.sorted.map(i => s"$dir/results/$i").toSeq: _*)
+            .localCheckpoint(true)
+        }
+      }
+    }
+
     def processBatch(batch: Dataset[Txn], batchId: Long): Unit = {
+      if (batchId <= lastCommitted) return // replay after restart: done
       val (st, res) = applyMultiKeyFrom(stateDf, batch)
-      stateDf = st
-      resultsDf = resultsDf.union(res).localCheckpoint(true)
+      checkpointDir match {
+        case Some(dir) =>
+          st.write.mode("overwrite").parquet(s"$dir/state/$batchId")
+          res.write.mode("overwrite").parquet(s"$dir/results/$batchId")
+          // re-root lineage at the durable copies
+          stateDf = spark.read.parquet(s"$dir/state/$batchId")
+          resultsDf = resultsDf
+            .union(spark.read.parquet(s"$dir/results/$batchId"))
+            .localCheckpoint(true)
+          val fs = hadoopFs(dir)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/commits"))
+          fs.create(new org.apache.hadoop.fs.Path(s"$dir/commits/$batchId"),
+            true).close()
+          lastCommitted = batchId
+        case None =>
+          stateDf = st
+          resultsDf = resultsDf.union(res).localCheckpoint(true)
+      }
     }
 
     /** Current KV state (key, value). */

@@ -52,6 +52,78 @@ class TxnEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("1000-txn single-hot-key log folds in O(1) scheduler phases") {
+    import s.implicits._
+    // every txn hits the SAME key: assert current counter value, write +1 —
+    // a chain of depth 1000 that previously cost 1000 generation rounds
+    val txns = (0 until 1000).map { i =>
+      Txn(i.toLong,
+        asserts = Seq(KeyValueOption("hot", if (i == 0) None else Some((i - 1).toString))),
+        updates = Seq(KeyValueOption("hot", Some(i.toString))))
+    }
+    val (stateDf, resultsDf, phases) = TxnEngine.applyMultiKeyCounted(
+      Seq.empty[(String, String)].toDF("key", "value"), txns.toDS())
+    val results = resultsDf.as[MkResult].collect().toSeq
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    assert(results.sortBy(_.txnId) == oracleResults.sortBy(_.txnId))
+    assert(stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == oracleState)
+    assert(phases <= 2, s"single-key chain took $phases scheduler phases")
+  }
+
+  test("hot-key singles interleaved with multi-key txns: phases track multi depth") {
+    import s.implicits._
+    // 300 single-key txns on one hot key + a multi-key txn spanning
+    // (hot, side) after every 100th — phases must scale with the 3
+    // multi-key interleavings, not the 303-txn chain depth
+    val singles = (0 until 300).map { i =>
+      Txn(i * 10L, Seq.empty, Seq(KeyValueOption("hot", Some(s"v$i"))))
+    }
+    val multis = (1 to 3).map { j =>
+      Txn(j * 1000L - 5L,
+        asserts = Seq(KeyValueOption("hot", Some(s"v${j * 100 - 1}"))),
+        updates = Seq(KeyValueOption("hot", Some(s"m$j")),
+          KeyValueOption(s"side$j", Some(s"s$j"))))
+    }
+    val txns = (singles ++ multis).sortBy(_.txnId)
+    val (stateDf, resultsDf, phases) = TxnEngine.applyMultiKeyCounted(
+      Seq.empty[(String, String)].toDF("key", "value"), txns.toDS())
+    val results = resultsDf.as[MkResult].collect().toSeq
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    assert(results.sortBy(_.txnId) == oracleResults.sortBy(_.txnId))
+    assert(stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == oracleState)
+    assert(phases <= 8, s"interleaved hot-key log took $phases phases")
+  }
+
+  test("multi-key stream recovers from its checkpoint after a kill/restart") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mks_").toString
+    val txns = randomTxns(23L, 80, 10)
+    val batches = txns.grouped(16).map(_.toSeq).toSeq // 5 batches
+
+    // first incarnation: process the first half, then "crash" (drop it)
+    val mks1 = new TxnEngine.MultiKeyStream(s, Some(dir))
+    batches.take(3).zipWithIndex.foreach { case (b, i) =>
+      mks1.processBatch(s.createDataset(b), i.toLong)
+    }
+
+    // second incarnation: restore from dir; a replayed batch (same id the
+    // restarted query re-delivers) must be a no-op, then the rest applies
+    val mks2 = new TxnEngine.MultiKeyStream(s, Some(dir))
+    mks2.processBatch(s.createDataset(batches(2)), 2L) // replay -> skipped
+    batches.drop(3).zipWithIndex.foreach { case (b, i) =>
+      mks2.processBatch(s.createDataset(b), (3 + i).toLong)
+    }
+
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    val got = mks2.state.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == oracleState, "restored state diverges from oracle")
+    val gotRes = mks2.results.as[MkResult].collect().toSeq
+    assert(gotRes.sortBy(_.txnId) == oracleResults.sortBy(_.txnId),
+      "restored results diverge from oracle")
+  }
+
   test("a8 multi-key workload matches the sequential oracle") {
     val txns = TxnQueries.multiKeyWorkload(s, d)
     val (stateDf, results) = TxnEngine.applyMultiKey(s, txns)
