@@ -19,13 +19,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // input-proportional shuffle parallelism: ~1 partition per 32 MB of
+    // input, clamped to [8, cpus] — at bench SFs the fixed per-task floor
+    // (schedule + codegen) dominates 32-way tiny shuffles, while at real
+    // scale the same rule walks back up to full parallelism (and AQE
+    // re-splits skew beyond it)
+    val inputBytes = Option(new java.io.File(sfDir).listFiles)
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+      .getOrElse(0L)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(cpus.toLong, math.max(8L, inputBytes / (32L << 20))).toString)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .withExtensions(new functions.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -162,11 +162,15 @@ object TextOps {
       CAST(len(list_distinct(bpe)) AS BIGINT) AS n_distinct
     FROM b"""
 
-  /** t8: TF-IDF top-3 terms per document (deterministic tiebreaks). */
+  /** t8: TF-IDF top-3 terms per document (deterministic tiebreaks). The
+    * corpus count rides the DAG as a 1-row broadcast (crossJoin of the
+    * count aggregate) instead of a separate driver `count()` action — one
+    * job, no extra scan-and-wait before the real query starts.
+    */
   def t8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).as("n"))
     val tok = docs.withColumn("toks", Text.tokens($"text"))
       .select($"doc_id", explode($"toks").as("token"))
     val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
@@ -175,7 +179,8 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"token")
     tf.join(broadcast(df), "token")
-      .withColumn("score", round($"tf" * log(lit(n * 1.0) / $"df"), 6))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", round($"tf" * log(($"n" * lit(1.0)) / $"df"), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 3)
       .select($"doc_id", $"token", $"score", $"rnk")

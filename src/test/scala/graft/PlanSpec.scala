@@ -40,9 +40,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p5.contains("BroadcastNestedLoopJoin"), p5.take(400))
   }
 
-  test("q21 does not broadcast its fact-keyed aggregate") {
-    val p = plan(Relational.q21(s, d))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  test("q21's fact-keyed aggregate joins by shuffle, not a broadcast hint") {
+    // with AQE and auto-broadcast off, ONLY an explicit broadcast(thr)
+    // hint could produce a BroadcastHashJoin here — so this fails exactly
+    // when someone re-adds the round-2 hint (the thr side has one row per
+    // l_partkey and must not be built as a broadcast at scale); AQE's
+    // legitimate stat-based choice at tiny SF is excluded from the check
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.q21(s, d))
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "thr side must reach the join via shuffle, not broadcast:\n" + p.take(600))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffle join for the thr side:\n" + p.take(600))
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("partitioned parquet write prunes partitions on read") {
