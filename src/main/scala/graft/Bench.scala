@@ -43,11 +43,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: session, codegen, parquet footers and page cache (a bare
-    // count() is metadata-only and warms nothing)
+    // warmup: session, parquet reader and page cache (a bare count() is
+    // metadata-only and warms nothing)
     import org.apache.spark.sql.functions.sum
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .agg(sum("l_quantity")).collect()
+    // warm the codegen/JIT caches by running every headliner once at the
+    // smallest SF: generated code depends on the query SHAPE, not the data
+    // scale, so the timed sf runs below hit the compile caches the way a
+    // long-lived production session would, and the timings measure
+    // data-proportional work instead of 16 one-off Janino compiles
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) headliners.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
 
     val results = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
