@@ -37,26 +37,20 @@ object Dedup {
       CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY fp"""
 
-  /** Exploded (doc_id, shingle) pairs. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", Text.tokens($"text"))
-      .select($"doc_id", explode(Text.shingles($"toks")).as("sh"))
-  }
-
-  /** MinHash signatures + LSH band hashes per doc. */
+  /** MinHash signatures + LSH band hashes per doc — signatures come from
+    * the whole-array [[graft.functions.MinHashSigs]] kernel (one map-side
+    * expression, no shingle explode / aggregate / exchange; the exploded
+    * [[Text.minhashSig]] formulation remains the oracle's portable twin).
+    */
   private def bandRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (u1, u2) = Text.minhashWords($"sh")
-    val withWords = shingleRows(s, dir)
-      .withColumn("u1", u1).withColumn("u2", u2)
-    val sigAggs = (0 until NumSigs)
-      .map(i => Text.minhashSig($"u1", $"u2", i).as(s"sig$i"))
-    val sigs = withWords.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id",
+        explode(graft.functions.ShingleSketches.minhash($"toks")).as("sigs"))
     val bandCols = (0 until NumBands).map { j =>
-      md5(concat_ws("|",
-        (0 until BandRows).map(r => col(s"sig${BandRows * j + r}").cast("string")): _*))
+      md5(concat_ws("|", (0 until BandRows).map(r =>
+        element_at($"sigs", BandRows * j + r + 1).cast("string")): _*))
     }
     sigs.select($"doc_id", posexplode(array(bandCols: _*)))
       .toDF("doc_id", "bi", "bh")
@@ -135,18 +129,20 @@ object Dedup {
   def simhashes(s: SparkSession, dir: String): DataFrame =
     simhashesOf(Tables.documents(s, dir))
 
-  /** [[simhashes]] over any (doc_id, text) DataFrame. */
+  /** [[simhashes]] over any (doc_id, text) DataFrame — the whole-array
+    * [[graft.functions.SimHash128]] kernel: signatures are a map-side
+    * projection (no shingle explode / aggregate / exchange). The
+    * [[graft.functions.SimHashAgg]] aggregate form stays as the portable
+    * twin the oracle mirrors; both produce identical bits.
+    */
   def simhashesOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
-        explode(array_distinct(Text.shingles($"toks"))).as("sh"))
-      .withColumn("m", md5($"sh"))
-      .groupBy($"doc_id")
-      .agg(graft.functions.SimHashAgg($"m").as("h"))
+        explode(graft.functions.ShingleSketches.simhash($"toks")).as("h"))
       .select(($"doc_id" +: (1 to SimHash.Halves).map(i =>
-        element_at($"h", i).as(s"h$i"))): _*)
+        col(s"h.h$i").as(s"h$i"))): _*)
   }
 
   /** d4: SimHash near-dup pairs at Hamming <= [[SimHashMaxHamming]] (of
