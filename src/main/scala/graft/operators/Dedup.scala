@@ -394,13 +394,48 @@ object Dedup {
     SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
     FROM reach GROUP BY id"""
 
+  /** d7: exact segment-level dedup — non-overlapping 8-token windows
+    * hashed and counted across documents; a segment appearing in >= 2
+    * distinct docs is boilerplate / copied text (the segment-granularity
+    * exact dedup LLM pipelines run next to document-level d1). Linear:
+    * explode + one hash-groupBy, no joins.
+    */
+  val SegTokens = 8
+  def d7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nseg = (size($"toks") / lit(SegTokens)).cast("int")
+    val segs = when(size($"toks") >= SegTokens,
+      transform(sequence(lit(0), nseg - 1),
+        i => concat_ws(" ", slice($"toks", i * SegTokens + 1, lit(SegTokens)))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", explode(segs).as("seg"))
+      .groupBy(md5($"seg").as("seg_md5"))
+      .agg(countDistinct($"doc_id").cast("long").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+  }
+
+  val d7Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    seg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= $SegTokens THEN
+        list_transform(range(0, CAST(len(toks) // $SegTokens AS INT)),
+          i -> array_to_string(toks[i*$SegTokens+1 : i*$SegTokens+$SegTokens], ' '))
+      ELSE [] END) AS seg FROM tok)
+    SELECT md5(seg) AS seg_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      min(doc_id) AS first_doc
+    FROM seg GROUP BY seg_md5 HAVING count(DISTINCT doc_id) >= 2"""
+
   private type QM = Map[String, Q]
   val queries: QM = Map(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
-    "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6)
+    "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6,
+    "d7_segment_dedup" -> d7)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql, "d2_minhash_lsh" -> d2Sql,
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
-    "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql)
+    "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql,
+    "d7_segment_dedup" -> d7Sql)
 }

@@ -646,7 +646,44 @@ object Relational {
     s.sql(q31Sql)
   }
 
+  /** TPC-H Q22 shape: above-average-balance customers with no FINALIZED
+    * order (every customer has some order at gate SF, so the anti side
+    * filters on status to stay non-vacuous), grouped by nation. The
+    * scalar average uses the exact decimal discipline
+    * ([[graft.Portable.davg]]) so the filter boundary is bit-identical
+    * across engines; the anti join is the NOT EXISTS.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val avgDf = cust.filter($"c_acctbal" > 0.0)
+      .agg(graft.Portable.davg($"c_acctbal").as("thr"))
+    cust.join(Tables.orders(s, dir)
+          .filter($"o_orderstatus" === "F").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .crossJoin(broadcast(avgDf))
+      .filter($"c_acctbal" > $"thr")
+      .join(broadcast(Tables.nation(s, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).cast("long").as("numcust"),
+        graft.Portable.dsum($"c_acctbal", 2).as("totacctbal"))
+  }
+
+  val q32Sql: String = s"""
+    WITH thr AS (
+      SELECT ${graft.Portable.davgSql("c_acctbal")} AS thr
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+      ${graft.Portable.dsumSql("c_acctbal", 2)} AS totacctbal
+    FROM customer CROSS JOIN thr JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > thr
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY n_name"""
+
   val queries: Map[String, Q] = Map(
+    "q32_avg_gated_anti" -> q32,
     "q30_min_cost_supplier" -> q30, "q31_nested_exists" -> q31,
     "q27_approx_quantile" -> q27, "q28_correlated_subquery" -> q28,
     "q29_lead_lag" -> q29,
@@ -662,6 +699,7 @@ object Relational {
     "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22)
 
   val oracles: Map[String, String] = Map(
+    "q32_avg_gated_anti" -> q32Sql,
     "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,
     "q24_grouping_sets" -> q24Sql, "q25_set_ops" -> q25Sql,
     "q26_custom_range_join" -> q19Sql, "q28_correlated_subquery" -> q28Sql,

@@ -225,14 +225,87 @@ object TextOps {
            ELSE 'train' END AS split
     FROM b"""
 
+  /** t10: repetition / boilerplate score — the duplicated-shingle ratio
+    * (1 - distinct/total word 3-grams). High values flag template or
+    * looping text that LLM-pipeline quality filters drop. The ratio is a
+    * single IEEE division of two exact ints — bitwise identical across
+    * engines, no rounding needed.
+    */
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("sh", Text.shingles($"toks"))
+      .select($"doc_id",
+        size($"sh").cast("long").as("n_shingles"),
+        size(array_distinct($"sh")).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when($"n_shingles" === 0, lit(0.0)).otherwise(
+          lit(1.0) - $"n_distinct".cast("double") / $"n_shingles"))
+  }
+
+  val t10Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, ${TextSql.shingles("toks")} AS sh FROM tok)
+    SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+      CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+      CASE WHEN len(sh) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+      END AS rep_ratio
+    FROM sh"""
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+
+  /** t11: PII detection + scrubbing — email/phone counts and a redacted
+    * text digest. The corpus has no PII, so the query plants a
+    * deterministic synthetic contact line on a third of the docs first
+    * (mirrored in the oracle) — the operator is then exercised on real
+    * matches instead of vacuous zeros. Patterns avoid lookarounds so the
+    * Java and RE2 dialects agree.
+    */
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = when($"doc_id" % 3 === 0,
+        concat(lit(" contact user"), $"doc_id", lit("@mail.example.com now")))
+      .when($"doc_id" % 3 === 1,
+        concat(lit(" call 555-01"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+          lit("-1234 today")))
+      .otherwise(lit(""))
+    Tables.documents(s, dir)
+      .withColumn("t2", concat($"text", planted))
+      .select($"doc_id",
+        regexp_count($"t2", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"t2", lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace($"t2", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("clean_md5"))
+  }
+
+  val t11Sql: String = s"""
+    WITH p AS (SELECT doc_id, text ||
+      CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+           WHEN doc_id % 3 = 1
+             THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-1234 today'
+           ELSE '' END AS t2
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+      md5(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+        '$PhoneRe', '<PHONE>', 'g')) AS clean_md5
+    FROM p"""
+
   val queries: Map[String, Q] = Map(
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
-    "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9)
+    "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
+    "t10_repetition" -> t10, "t11_pii_scrub" -> t11)
 
   val oracles: Map[String, String] = Map(
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,
-    "t7_bpe_tokens" -> t7Sql, "t8_tfidf" -> t8Sql, "t9_train_split" -> t9Sql)
+    "t7_bpe_tokens" -> t7Sql, "t8_tfidf" -> t8Sql, "t9_train_split" -> t9Sql,
+    "t10_repetition" -> t10Sql, "t11_pii_scrub" -> t11Sql)
 }

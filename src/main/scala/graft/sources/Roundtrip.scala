@@ -40,9 +40,23 @@ object Roundtrip {
 
   val h2Sql: String = "SELECT r_regionkey, r_name FROM region"
 
+  /** h3: supplier → ORC → read back (schema from the ORC footer; the
+    * oracle compares against the parquet original, so the round trip must
+    * be lossless including doubles).
+    */
+  def h3(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft_orc_")
+    Tables.supplier(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+  }
+
+  val h3Sql: String = "SELECT * FROM supplier"
+
   val queries: Map[String, Q] = Map(
-    "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2)
+    "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
+    "h3_orc_roundtrip" -> h3)
 
   val oracles: Map[String, String] = Map(
-    "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql)
+    "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
+    "h3_orc_roundtrip" -> h3Sql)
 }
