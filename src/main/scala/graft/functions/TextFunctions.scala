@@ -151,25 +151,14 @@ object SimHash {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
-  /** All XOR masks at Hamming <= [[SubRadius]] of a `width`-bit block —
-    * the one-sided multi-probe set (1 + width + C(width,2) masks).
-    */
-  def probeMasks(width: Int): Seq[Long] = {
-    require(width > 0 && width <= 62, s"block width out of range: $width")
-    val pairs = for {
-      i <- 0 until width; j <- (i + 1) until width
-    } yield (1L << i) | (1L << j)
-    Seq(0L) ++ (0 until width).map(1L << _) ++ pairs
-  }
-
   /** XOR masks at Hamming <= [[SubRadius]]/2 — the SYMMETRIC probe set:
     * when BOTH join sides emit `bv ^ mask` for every mask here, a pair
     * whose block differs in d <= [[SubRadius]] bits matches on some
     * (ma, mb) split of the xor (d=0: ma=mb=0; d=1: one bit vs 0; d=2: one
     * bit each), so recall is identical to one-sided <=[[SubRadius]]
-    * probing but each side emits only `1 + width` rows instead of
-    * `1 + width + C(width,2)` — ~10x fewer generated rows for an 18-bit
-    * block. Requires [[SubRadius]] even (it is 2).
+    * probing but each side emits only `1 + width` rows instead of the
+    * one-sided `1 + width + C(width,2)` — ~10x fewer generated rows for
+    * an 18-bit block. Requires [[SubRadius]] even (it is 2).
     */
   def symProbeMasks(width: Int): Seq[Long] = {
     require(width > 0 && width <= 62, s"block width out of range: $width")

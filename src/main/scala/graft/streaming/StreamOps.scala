@@ -138,11 +138,80 @@ object StreamOps {
     SELECT event_id, user_id, c_name, c_mktsegment
     FROM events JOIN customer ON user_id = c_custkey"""
 
+  /** g5: Spark's BUILT-IN session windows (`session_window` + watermark,
+    * append mode) — the declarative twin of g2's custom
+    * flatMapGroupsWithState sessionizer. Sessions finalize when the
+    * watermark passes `last event + gap`; a far-future sentinel on a
+    * synthetic user advances the global watermark so every real session
+    * emits. Window end is `last_ts + gap` by definition — the oracle
+    * mirrors it with an interval add on the gap-sessionized batch.
+    */
+  def g5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .collect().sortBy(_._2.getTime)
+    val maxMs = rows.map(_._2.getTime).max
+    val sentinel = (-1L, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    StreamRunner.run(s, Seq(b1.toSeq, b2.toSeq, Seq(sentinel))) { ds =>
+      ds.toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+    }.filter(col("user_id") >= 0)
+  }
+
+  val g5Sql: String = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+          THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+      max(ts) + INTERVAL 30 MINUTE AS session_end,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id"""
+
+  /** g6: complete-output-mode streaming aggregation — per-event-type
+    * totals recomputed every micro-batch; the final complete table equals
+    * the batch aggregate.
+    */
+  def g6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"event_type", $"user_id").as[(String, Long)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    StreamRunner.run(s, Seq(b1.toSeq, b2.toSeq), outputMode = "complete") { ds =>
+      ds.toDF("event_type", "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min(col("user_id")).as("first_user"),
+          max(col("user_id")).as("last_user"))
+    }
+  }
+
+  val g6Sql: String = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      min(user_id) AS first_user, max(user_id) AS last_user
+    FROM events GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
-    "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4)
+    "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4,
+    "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6)
 
   val oracles: Map[String, String] = Map(
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
-    "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql)
+    "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql,
+    "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql)
 }
