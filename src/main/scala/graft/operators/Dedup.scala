@@ -42,9 +42,13 @@ object Dedup {
     * expression, no shingle explode / aggregate / exchange; the exploded
     * [[Text.minhashSig]] formulation remains the oracle's portable twin).
     */
-  private def bandRows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sigs = Tables.documents(s, dir)
+  private def bandRows(s: SparkSession, dir: String): DataFrame =
+    bandRowsOf(Tables.documents(s, dir))
+
+  /** [[bandRows]] over any (doc_id, text) DataFrame. */
+  private def bandRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigs = docs
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
         explode(graft.functions.ShingleSketches.minhash($"toks")).as("sigs"))
@@ -60,8 +64,14 @@ object Dedup {
     * table is materialized once (localCheckpoint) — a naive self-join
     * would run the whole shingle→minhash pipeline twice.
     */
-  def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val b = bandRows(s, dir).localCheckpoint(true)
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatesOf(Tables.documents(s, dir))
+
+  /** [[minhashCandidates]] over any (doc_id, text) DataFrame — also the
+    * scale spec's entry point for synthetic corpora.
+    */
+  def minhashCandidatesOf(docs: DataFrame): DataFrame = {
+    val b = bandRowsOf(docs).localCheckpoint(true)
     val a = b.toDF("a_id", "bi", "bh")
     val x = b.toDF("b_id", "bi2", "bh2")
     a.join(x, a("bi") === x("bi2") && a("bh") === x("bh2") && a("a_id") < x("b_id"))
@@ -314,19 +324,28 @@ object Dedup {
   }
 
   val d5Sql: String = {
-    val gatePlanes = Similarity.numPlanes(Similarity.GateN)
-    val planeRows = Similarity.planeWeights(gatePlanes).zipWithIndex
+    // the oracle is N-adaptive exactly like Similarity.numPlanes: all
+    // MaxPlanes plane rows are emitted and the used prefix is selected by
+    // exact integer CASE thresholds (smallest p >= 6 with 4*2^p >= count)
+    val planeRows = Similarity.planeWeights(Similarity.MaxPlanes).zipWithIndex
       .map { case (w, p) =>
         s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
       }.mkString(", ")
+    val caseArms = (6 until Similarity.MaxPlanes)
+      .map(p => s"WHEN c <= ${4L << p} THEN $p")
+      .mkString(" ")
     val dot =
       "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"
     s"""
-    WITH planes(p, w) AS (VALUES $planeRows),
+    WITH np AS (
+      SELECT CASE $caseArms ELSE ${Similarity.MaxPlanes} END AS np
+      FROM (SELECT count(*) AS c FROM embeddings)),
+    planes(p, w) AS (VALUES $planeRows),
+    pl AS (SELECT planes.* FROM planes, np WHERE planes.p < np.np),
     bkt AS (
       SELECT e.vec_id,
         CAST(sum(CASE WHEN $dot >= 0 THEN 1 << p.p ELSE 0 END) AS INTEGER) AS bucket
-      FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+      FROM embeddings e CROSS JOIN pl p GROUP BY e.vec_id),
     v AS (
       SELECT e.vec_id, e.embedding, b.bucket
       FROM embeddings e JOIN bkt b USING (vec_id))

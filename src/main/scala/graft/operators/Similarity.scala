@@ -19,20 +19,21 @@ object Similarity {
   val TopK = 10
   val NumQueries = 5 // query set = vec_id < 5
 
-  /** Hyperplane count from corpus size: ~log2(N / targetOccupancy) with
-    * occupancy target 4, floored at 6 — so bucket population stays ~flat
-    * as the corpus grows instead of the bucket space being a constant 64.
-    * 500 vectors (the sf0.01 gate corpus) -> 7 planes; 50k -> 14; 1e9 ->
-    * 28. The d5 oracle SQL is generated from `numPlanes(GateN)`.
+  /** Hyperplane count from corpus size: the smallest p >= 6 with
+    * 4 * 2^p >= N (bucket occupancy target 4, capped at [[MaxPlanes]]) —
+    * bucket population stays ~flat as the corpus grows instead of the
+    * bucket space being a constant 64. 500 vectors (the sf0.01 gate
+    * corpus) -> 7 planes; 2000 -> 9; 50k -> 14; 1e9 -> 28. Defined with
+    * INTEGER comparisons so the d5 oracle can mirror it as exact CASE
+    * thresholds — a float log2 would risk ULP disagreement at
+    * power-of-two boundaries.
     */
-  def numPlanes(n: Long): Int =
-    math.max(6, math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
-
-  /** The driver's correctness gate runs at sf0.01, whose embeddings table
-    * has exactly this many rows; the static d5 oracle SQL mirrors the
-    * plane set for this N.
-    */
-  val GateN = 500L
+  val MaxPlanes = 30
+  def numPlanes(n: Long): Int = {
+    var p = 6
+    while (p < MaxPlanes && (4L << p) < n) p += 1
+    p
+  }
 
   /** IVF centroid count ~sqrt(N) (bounded cell occupancy ~sqrt(N)), and
     * cells probed per query ~sqrt(k) — candidates/query ~ N^(3/4).

@@ -81,6 +81,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(cands >= 500, s"only $cands candidates — planted twins missed?")
   }
 
+  test("d2 LSH band candidates stay under 1% of all-pairs on a 5k-doc corpus") {
+    val docs = corpus(5000)
+    val n = docs.count()
+    val cands = Dedup.minhashCandidatesOf(docs).count()
+    val frac = cands / (n * (n - 1) / 2.0)
+    info(f"docs=$n candidates=$cands frac=$frac%.5f")
+    assert(frac < 0.01, f"candidate fraction $frac%.5f >= 1%% of all-pairs")
+    assert(cands >= 90, s"only $cands candidates — planted twins missed?")
+  }
+
   test("d4 MIH recall is exact: pairs == brute-force Hamming pairs (1.2k docs)") {
     import s.implicits._
     val sigs = Dedup.simhashesOf(corpus(1200)).localCheckpoint(true)
