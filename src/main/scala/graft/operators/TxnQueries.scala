@@ -310,7 +310,87 @@ object TxnQueries {
       })
   }
 
+  /** Deterministic multi-key BLIND workload (no asserts — SQL-expressible
+    * last-writer-wins oracle): every 100th event becomes a txn updating
+    * TWO keys, a user bucket and a value bucket; v%5=0 / v%7=0 delete.
+    */
+  def multiKeyBlindWorkload(s: SparkSession, dir: String)
+      : Dataset[TxnEngine.Txn] = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_id" % 100 === 0)
+      .select($"event_id".as("txnId"),
+        floor($"value" * 100).cast("long").as("v"), $"user_id")
+      .select($"txnId",
+        array().cast("array<struct<key:string,valueOption:string>>")
+          .as("asserts"),
+        array(
+          struct(concat(lit("k"), ($"user_id" % 20).cast("string")).as("key"),
+            when($"v" % 5 === 0, lit(null).cast("string"))
+              .otherwise($"v".cast("string")).as("valueOption")),
+          struct(concat(lit("m"), ($"v" % 15).cast("string")).as("key"),
+            when($"v" % 7 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("x"), $"v".cast("string")))
+              .as("valueOption"))).as("updates"))
+      .as[TxnEngine.Txn]
+  }
+
+  /** a12: the MULTI-key production path end-to-end — multi-key JSON
+    * txn-log files → `readStream` → checkpointed [[TxnEngine.MultiKeyStream]]
+    * (foreachBatch), with a mid-stream stop, a NEW engine instance
+    * restored from its own parquet+commit-marker checkpoint, and a
+    * restarted query over the same stream checkpoint (the replayed
+    * micro-batch is skipped by batchId). The reference's multi-key
+    * Kafka-loop deployment (StreamyDb.scala:177-242) as Spark jobs. Blind
+    * workload, so the final state hash-matches a last-writer-wins oracle.
+    */
+  def a12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_a12_").toString
+    val src = s"$root/src"; val cp = s"$root/cp"; val ecp = s"$root/enginecp"
+    new java.io.File(src).mkdirs()
+    val w = multiKeyBlindWorkload(s, dir)
+    val r = w.agg(min($"txnId"), max($"txnId")).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    def writePart(part: Int, c: org.apache.spark.sql.Column): Unit =
+      TxnLog.encodeMk(w.filter(c)).coalesce(1)
+        .write.mode("overwrite").text(s"$src/part$part")
+    def run(mks: TxnEngine.MultiKeyStream): Unit = {
+      val q = TxnLog.decodeMk(s.readStream.text(s"$src/part*"))
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch((b: Dataset[TxnEngine.Txn], id: Long) =>
+          mks.processBatch(b, id))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writePart(1, $"txnId" < mid)
+    run(new TxnEngine.MultiKeyStream(s, Some(ecp))) // first half
+    writePart(2, $"txnId" >= mid)
+    val restored = new TxnEngine.MultiKeyStream(s, Some(ecp)) // restart
+    run(restored)
+    restored.state
+  }
+
+  val a12Sql: String = """
+    WITH raw AS (
+      SELECT event_id AS txn_id, CAST(floor(value * 100) AS BIGINT) AS v,
+        user_id
+      FROM events WHERE event_id % 100 = 0),
+    upd AS (
+      SELECT txn_id, 'k' || CAST(user_id % 20 AS VARCHAR) AS key,
+        CASE WHEN v % 5 = 0 THEN NULL ELSE CAST(v AS VARCHAR) END AS val
+      FROM raw
+      UNION ALL
+      SELECT txn_id, 'm' || CAST(v % 15 AS VARCHAR),
+        CASE WHEN v % 7 = 0 THEN NULL ELSE 'x' || CAST(v AS VARCHAR) END
+      FROM raw),
+    sel AS (SELECT key, val,
+      row_number() OVER (PARTITION BY key ORDER BY txn_id DESC) AS rd
+      FROM upd)
+    SELECT key, val AS value FROM sel WHERE rd = 1 AND val IS NOT NULL"""
+
   val queries: Map[String, Q] = Map(
+    "a12_stream_file_multikey" -> a12,
     "a11_heartbeat_agg" -> a11,
     "a1_txn_blind_state" -> a1, "a2_txn_blind_results" -> a2,
     "a3_txn_conditional_state" -> a3, "a4_txn_conditional_results" -> a4,
@@ -323,5 +403,5 @@ object TxnQueries {
     "a3_txn_conditional_state" -> a3Sql, "a4_txn_conditional_results" -> a4Sql,
     "a5_stream_txn_kv" -> a5Sql, "a6_event_time_sort" -> a6Sql,
     "a7_stream_watermark_agg" -> a7Sql, "a10_stream_file_txn" -> a1Sql,
-    "a11_heartbeat_agg" -> a7Sql)
+    "a11_heartbeat_agg" -> a7Sql, "a12_stream_file_multikey" -> a12Sql)
 }

@@ -32,4 +32,29 @@ object TxnLog {
         col("t.assertValue"), col("t.updateValue"))
       .as[SkTxn]
   }
+
+  private val kvSchema = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("valueOption", StringType, nullable = true)))
+
+  /** Multi-key txn schema — the reference's actual topic format carries
+    * assert and update LISTS per transaction (package.scala:24-58).
+    */
+  val mkSchema: StructType = StructType(Seq(
+    StructField("txnId", LongType, nullable = false),
+    StructField("asserts", ArrayType(kvSchema, containsNull = false), nullable = false),
+    StructField("updates", ArrayType(kvSchema, containsNull = false), nullable = false)))
+
+  /** Encode multi-key txns as one JSON document per line. */
+  def encodeMk(txns: Dataset[graft.streaming.TxnEngine.Txn]): DataFrame =
+    txns.select(to_json(struct(col("txnId"), col("asserts"),
+      col("updates"))).as("value"))
+
+  /** Decode a `value: string` column back to multi-key txns. */
+  def decodeMk(lines: DataFrame): Dataset[graft.streaming.TxnEngine.Txn] = {
+    import lines.sparkSession.implicits._
+    lines.select(from_json(col("value"), mkSchema).as("t"))
+      .select(col("t.txnId"), col("t.asserts"), col("t.updates"))
+      .as[graft.streaming.TxnEngine.Txn]
+  }
 }
