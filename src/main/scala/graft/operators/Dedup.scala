@@ -446,13 +446,61 @@ object Dedup {
       min(doc_id) AS first_doc
     FROM seg GROUP BY seg_md5 HAVING count(DISTINCT doc_id) >= 2"""
 
+  /** d8: benchmark decontamination — training docs that share word
+    * 5-grams with the held-out eval set (the lowest [[EvalDocs]] doc_ids,
+    * the same docs a real pipeline would quarantine before training).
+    * The eval 5-gram set is tiny and broadcast; training docs join it on
+    * the shingle hash (linear, no shuffle of the corpus side beyond the
+    * per-doc aggregate), and every train doc is emitted with its overlap
+    * count + contaminated flag.
+    */
+  val EvalDocs = 25L
+  val ContamThreshold = 3L
+  def d8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id",
+        explode(array_distinct(Text.shingles($"toks", 5))).as("g"))
+      .select($"doc_id", md5($"g").as("gh"))
+    val evalSet = grams.filter($"doc_id" < EvalDocs)
+      .select($"gh").distinct()
+    val overlap = grams.filter($"doc_id" >= EvalDocs)
+      .join(broadcast(evalSet), "gh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, dir)
+      .filter($"doc_id" >= EvalDocs)
+      .select($"doc_id")
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .withColumn("contaminated", $"n_shared" >= ContamThreshold)
+  }
+
+  val d8Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    g AS (SELECT doc_id, md5(unnest(list_distinct(${TextSql.shingles("toks", 5)}))) AS gh
+          FROM tok),
+    ev AS (SELECT DISTINCT gh FROM g WHERE doc_id < $EvalDocs),
+    ov AS (
+      SELECT g.doc_id, count(*) AS n_shared
+      FROM g JOIN ev USING (gh) WHERE g.doc_id >= $EvalDocs
+      GROUP BY g.doc_id)
+    SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+      COALESCE(ov.n_shared, 0) >= $ContamThreshold AS contaminated
+    FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    WHERE d.doc_id >= $EvalDocs"""
+
   private type QM = Map[String, Q]
   val queries: QM = Map(
+    "d8_decontamination" -> d8,
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
     "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6,
     "d7_segment_dedup" -> d7)
 
   val oracles: Map[String, String] = Map(
+    "d8_decontamination" -> d8Sql,
     "d1_exact_dedup" -> d1Sql, "d2_minhash_lsh" -> d2Sql,
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql,
