@@ -173,9 +173,12 @@ object TextOps {
     val nDf = docs.agg(count(lit(1)).as("n"))
     val tok = docs.withColumn("toks", Text.tokens($"text"))
       .select($"doc_id", explode($"toks").as("token"))
+    // tf is materialized once: document frequency is just the per-token
+    // row count of tf (tf has one row per (doc, token)), so deriving df
+    // from it avoids a second scan+tokenize+explode of the corpus
     val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy($"token")
-      .agg(countDistinct($"doc_id").as("df"))
+      .localCheckpoint(true)
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"token")
     tf.join(broadcast(df), "token")
