@@ -646,6 +646,51 @@ object Relational {
     s.sql(q31Sql)
   }
 
+  /** q33: time-series rollup — daily event counts per type with a 3-day
+    * trailing moving average (ROWS frame). The average divides an exact
+    * integer window sum by an exact count, so the double is bit-identical
+    * across engines.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-2, 0)
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .withColumn("ma3", avg($"n_events").over(w))
+  }
+
+  val q33Sql: String = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY day, event_type)
+    SELECT day, event_type, n_events,
+      avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+    FROM daily"""
+
+  /** q34: rank bucketing — balance quartile (ntile) and percent_rank per
+    * nation, deterministically tie-broken by custkey. percent_rank is
+    * (rank-1)/(n-1) on exact ints, bit-identical across engines.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+  }
+
+  val q34Sql: String = """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""
+
   /** TPC-H Q22 shape: above-average-balance customers with no FINALIZED
     * order (every customer has some order at gate SF, so the anti side
     * filters on status to stay non-vacuous), grouped by nation. The
@@ -683,7 +728,8 @@ object Relational {
     GROUP BY n_name"""
 
   val queries: Map[String, Q] = Map(
-    "q32_avg_gated_anti" -> q32,
+    "q32_avg_gated_anti" -> q32, "q33_moving_avg" -> q33,
+    "q34_rank_buckets" -> q34,
     "q30_min_cost_supplier" -> q30, "q31_nested_exists" -> q31,
     "q27_approx_quantile" -> q27, "q28_correlated_subquery" -> q28,
     "q29_lead_lag" -> q29,
@@ -699,7 +745,8 @@ object Relational {
     "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22)
 
   val oracles: Map[String, String] = Map(
-    "q32_avg_gated_anti" -> q32Sql,
+    "q32_avg_gated_anti" -> q32Sql, "q33_moving_avg" -> q33Sql,
+    "q34_rank_buckets" -> q34Sql,
     "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,
     "q24_grouping_sets" -> q24Sql, "q25_set_ops" -> q25Sql,
     "q26_custom_range_join" -> q19Sql, "q28_correlated_subquery" -> q28Sql,
