@@ -63,6 +63,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d8's eval-gram side is broadcast, the corpus side streams") {
+    val p = plan(operators.Dedup.d8(s, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     sources.Tables.lineitem(s, d)
