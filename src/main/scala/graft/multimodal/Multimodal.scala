@@ -126,11 +126,42 @@ object Multimodal {
       CAST(sum(len) AS BIGINT) AS total_bytes
     FROM r GROUP BY modality"""
 
+  /** m5: resize stub — nearest-neighbor strided resampling of the payload
+    * to a fixed [[ResizeTo]]-sample shape (sample i reads position
+    * `1 + floor(i*(len-1)/(T-1))`), then a digest of the resized payload.
+    * The real pixel-interpolation kernel is what a codec library would
+    * supply; the fixed-output-shape plumbing, the per-row index math and
+    * the deterministic digest ARE the pipeline contract. Char-based on
+    * both sides for the same reason as [[m2]].
+    */
+  val ResizeTo = 32
+  def m5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val samples = transform(sequence(lit(0), lit(ResizeTo - 1)), i =>
+      $"text".substr(
+        (lit(1) + floor((i * (length($"text") - 1)) / lit(ResizeTo - 1.0)))
+          .cast("int"),
+        lit(1)))
+    Tables.documents(s, dir)
+      .select($"doc_id", length($"text").cast("long").as("orig_len"),
+        md5(array_join(samples, "")).as("resized_md5"))
+  }
+
+  val m5Sql: String = s"""
+    WITH r AS (SELECT doc_id, length(text) AS orig_len,
+      list_transform(range(0, $ResizeTo), i ->
+        substring(text, CAST(1 + floor((i*(length(text)-1))/${ResizeTo - 1}.0) AS INT), 1)) AS ss
+      FROM documents)
+    SELECT doc_id, CAST(orig_len AS BIGINT) AS orig_len,
+      md5(array_to_string(ss, '')) AS resized_md5
+    FROM r"""
+
   val queries: Map[String, Q] = Map(
     "m1_binary_meta" -> m1, "m2_frame_sample" -> m2, "m3_feature_stub" -> m3,
-    "m4_modality_router" -> m4)
+    "m4_modality_router" -> m4, "m5_resize_stub" -> m5)
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql, "m2_frame_sample" -> m2Sql,
-    "m3_feature_stub" -> m3Sql, "m4_modality_router" -> m4Sql)
+    "m3_feature_stub" -> m3Sql, "m4_modality_router" -> m4Sql,
+    "m5_resize_stub" -> m5Sql)
 }
