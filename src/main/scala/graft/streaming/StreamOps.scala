@@ -118,6 +118,45 @@ object StreamOps {
 
   val g3Sql: String = graft.operators.Relational.q19Sql
 
+  /** g7: stream-stream LEFT OUTER interval join — like g3, but views with
+    * no click in the window emit once with null click columns after the
+    * watermark passes their join window (outer-side state eviction, the
+    * semantics plain inner joins can't express). A far-future batch on
+    * both sides advances the watermark so every pending view resolves.
+    */
+  def g7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def rows(tpe: String): Seq[(Long, Long, java.sql.Timestamp)] =
+      ev.filter($"event_type" === tpe)
+        .select($"user_id", $"event_id", $"ts")
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+        .sortBy(_._3.getTime).toSeq
+    val maxMs = ev.agg(max($"ts")).as[java.sql.Timestamp].head().getTime
+    def withSentinel(xs: Seq[(Long, Long, java.sql.Timestamp)])
+        : Seq[Seq[(Long, Long, java.sql.Timestamp)]] = {
+      val (b1, b2) = xs.splitAt(xs.length / 2)
+      val far = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      Seq(b1, b2, Seq((-1L, -1L, far)))
+    }
+    val views = withSentinel(rows("view")).map(_.map(r => ViewEv(r._1, r._2, r._3)))
+    val clicks = withSentinel(rows("click")).map(_.map(r => ClickEv(r._1, r._2, r._3)))
+    StreamRunner.run2(s, views, clicks) { (v, c) =>
+      v.toDF().withWatermark("v_ts", "1 hour")
+        .join(c.toDF().withWatermark("c_ts", "1 hour"),
+          expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 10 minutes"),
+          "left_outer")
+        .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+    }.filter(col("user_id") >= 0)
+  }
+
+  val g7Sql: String = """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 10 MINUTE"""
+
   /** g4: stream-static join — the event stream enriched against the static
     * customer dimension (broadcast; no streaming state needed).
     */
@@ -208,10 +247,12 @@ object StreamOps {
   val queries: Map[String, Q] = Map(
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
     "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4,
-    "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6)
+    "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6,
+    "g7_stream_outer_interval_join" -> g7)
 
   val oracles: Map[String, String] = Map(
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
     "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql,
-    "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql)
+    "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql,
+    "g7_stream_outer_interval_join" -> g7Sql)
 }

@@ -38,6 +38,16 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(decoded.sameElements(txns.collect().sortBy(_.txnId)))
   }
 
+  test("multi-key JSON codec round-trips asserts/updates incl. deletes") {
+    val txns = TxnQueries.multiKeyBlindWorkload(s, d)
+    val decoded = TxnLog.decodeMk(TxnLog.encodeMk(txns)).collect().sortBy(_.txnId)
+    val orig = txns.collect().sortBy(_.txnId)
+    assert(decoded.sameElements(orig))
+    // deletes (valueOption = None) must survive the JSON round trip
+    assert(orig.exists(_.updates.exists(_.valueOption.isEmpty)),
+      "workload should contain deletes")
+  }
+
   test("txn log written as json files replays through the engine") {
     import s.implicits._
     val dir = Files.createTempDirectory("graft_txnlog_").toString
