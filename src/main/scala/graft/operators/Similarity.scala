@@ -228,9 +228,70 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos")
   }
 
+  /** s2's full oracle: although s2 is an APPROXIMATE-recall index, its
+    * candidate set is perfectly deterministic (md5-derived planes, exact
+    * in-order dot products, tie-broken top-k) — so the DuckDB twin can
+    * reproduce it bit-for-bit and s2 graduates from rows-only to a full
+    * hash match. "Candidate in some table's Hamming<=2 probe set" is one
+    * OR over the four tables' `bit_count(xor(q_bucket, c_bucket)) <= 2`
+    * conditions; the plane count is N-adaptive exactly like d5's oracle
+    * (integer CASE thresholds over all [[MaxPlanes]] emitted plane rows).
+    */
+  val s2Sql: String = {
+    val caseArms = (6 until MaxPlanes)
+      .map(p => s"WHEN c <= ${4L << p} THEN $p")
+      .mkString(" ")
+    val planeCtes = (0 until NumTables).map { t =>
+      val rows = planeTable(t, MaxPlanes).zipWithIndex.map { case (w, p) =>
+        s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(", ")
+      s"planes$t(p, w) AS (VALUES $rows)"
+    }.mkString(",\n    ")
+    val dot =
+      "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"
+    val bktCtes = (0 until NumTables).map { t =>
+      s"""bkt$t AS (
+      SELECT e.vec_id,
+        CAST(sum(CASE WHEN $dot >= 0 THEN 1 << p.p ELSE 0 END) AS INTEGER) AS b
+      FROM embeddings e CROSS JOIN (SELECT planes$t.* FROM planes$t, np
+        WHERE planes$t.p < np.np) p
+      GROUP BY e.vec_id)"""
+    }.mkString(",\n    ")
+    val bktJoin = (0 until NumTables)
+      .map(t => s"JOIN bkt$t v$t ON v$t.vec_id = e.vec_id")
+      .mkString(" ")
+    val anyTable = (0 until NumTables)
+      .map(t => s"bit_count(xor(q.b$t, c.b$t)) <= 2")
+      .mkString(" OR ")
+    s"""
+    WITH np AS (
+      SELECT CASE $caseArms ELSE $MaxPlanes END AS np
+      FROM (SELECT count(*) AS c FROM embeddings)),
+    $planeCtes,
+    $bktCtes,
+    v AS (
+      SELECT e.vec_id, e.embedding,
+        ${(0 until NumTables).map(t => s"v$t.b AS b$t").mkString(", ")}
+      FROM embeddings e $bktJoin),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(${VecSql.cosine("q.embedding", "c.embedding", 64)}, 6) AS cos
+      FROM v q JOIN v c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
+        AND ($anyTable)),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3)
 
-  // s2/s3 are approximate — rows-only in the gate, recall-tested in specs
-  val oracles: Map[String, String] = Map("s1_bruteforce_topk" -> s1Sql)
+  // s3's Lloyd means use float sums (order-dependent at the ULP level),
+  // so it stays rows-only with the recall spec; s2 is fully deterministic
+  // and hash-gated
+  val oracles: Map[String, String] = Map(
+    "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql)
 }
