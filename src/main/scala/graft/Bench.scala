@@ -57,8 +57,14 @@ object Bench {
       "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) headliners.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
+        // NonFatal only: a systematically broken headliner must be visible
+        // (a silent warm-up failure would make the timed run measure cold
+        // compiles), and fatal VM errors must propagate
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"warmup failed for $name: $e")
+        }
       }
     }
 

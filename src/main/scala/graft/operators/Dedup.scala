@@ -458,11 +458,14 @@ object Dedup {
   val ContamThreshold = 3L
   def d8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the shingle+md5 stage is the expensive part and feeds both sides of
+    // the overlap join — materialize it once
     val grams = Tables.documents(s, dir)
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
         explode(array_distinct(Text.shingles($"toks", 5))).as("g"))
       .select($"doc_id", md5($"g").as("gh"))
+      .localCheckpoint(true)
     val evalSet = grams.filter($"doc_id" < EvalDocs)
       .select($"gh").distinct()
     val overlap = grams.filter($"doc_id" >= EvalDocs)

@@ -37,11 +37,14 @@ object Similarity {
 
   /** IVF centroid count ~sqrt(N) (bounded cell occupancy ~sqrt(N)), and
     * cells probed per query ~sqrt(k) — candidates/query ~ N^(3/4).
+    * Defined with `ceil(sqrt(double))` on both engines: sqrt/ceil are
+    * IEEE-exact, so the DuckDB oracle derives the identical k / nprobe.
     */
   def numCentroids(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
   def nProbe(k: Int): Int =
     math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+  val LloydIters = 2
 
   private def topkPerQuery(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -150,7 +153,8 @@ object Similarity {
   }
 
   /** s3: IVF — deterministic seed centroids (lowest vec_ids), Lloyd
-    * refinement, nprobe-cell search. Rows-only (recall spec).
+    * refinement, nprobe-cell search. FULL hash gate: every stage is
+    * bit-reproducible in DuckDB (see [[s3Sql]]).
     *
     * k = [[numCentroids]] ~ sqrt(N) and nprobe ~ sqrt(k), so cell
     * occupancy and candidates/query both grow sublinearly instead of the
@@ -160,6 +164,14 @@ object Similarity {
     * where the previous expression-literal argmin would have blown past
     * codegen limits at k ~ sqrt(N). Only the codebook (k x 64 doubles) and
     * the bounded query set ever reach the driver.
+    *
+    * Lloyd means are ORDER-INDEPENDENT fixed-point sums: each coordinate
+    * is floored to 1e-6 ticks (one IEEE multiply + floor per row — bitwise
+    * identical across engines), summed exactly as integers, and the mean
+    * is two IEEE divisions — so the refined codebook is byte-equal no
+    * matter how Spark orders the partial aggregates, and DuckDB can replay
+    * it. A plain float `avg()` here was the one order-dependent step that
+    * kept s3 rows-only.
     */
   def s3(s: SparkSession, dir: String): DataFrame =
     topkPerQuery(s3Scored(s, dir))
@@ -193,11 +205,15 @@ object Similarity {
           first($"emb").as("emb"))
     }
 
-    // Lloyd iterations: assignment + mean per cell/dim
-    for (_ <- 0 until 2) {
+    // Lloyd iterations: assignment + order-independent fixed-point mean
+    // per cell/dim (exact integer sum of 1e-6 ticks, then two IEEE
+    // divisions — bit-equal in DuckDB regardless of aggregation order)
+    for (_ <- 0 until LloydIters) {
       val means = assign(centroids)
         .select($"cid", posexplode($"emb").as(Seq("dim", "x")))
-        .groupBy($"cid", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"cid", $"dim")
+        .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
+          .as("m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
@@ -286,12 +302,86 @@ object Similarity {
     SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK"""
   }
 
+  /** s3's full oracle: the ENTIRE IVF build is deterministic — seed
+    * centroids are the k lowest vec_ids, Lloyd means are exact fixed-point
+    * sums ([[s3Scored]]), assignment and probe selection tie-break on
+    * (distance, cid) — so DuckDB replays codebook construction, cell
+    * assignment, probe selection and the tie-broken top-k bit-for-bit.
+    * k and nprobe derive from count(*) with the same `ceil(sqrt(...))` as
+    * [[numCentroids]]/[[nProbe]]; the [[LloydIters]] refinement rounds are
+    * unrolled as CTE triples (assign -> fixed-point mean -> next codebook,
+    * empty cells keeping their previous coordinates via the left join).
+    */
+  val s3Sql: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def assignCte(name: String, cents: String) = s"""
+    $name AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, s.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${d2("e.emb", "s.c")}, s.cid) AS rn
+        FROM emb e CROSS JOIN $cents s) z
+      WHERE rn = 1)"""
+    def meanCte(name: String, assigned: String) = s"""
+    $name AS (
+      SELECT cid, t.i AS dim,
+        (CAST(sum(CAST(floor(emb[t.i] * 1e6) AS BIGINT)) AS DOUBLE)
+          / count(*)) / 1e6 AS m
+      FROM $assigned CROSS JOIN range(1, ${Dim + 1}) t(i)
+      GROUP BY cid, t.i)"""
+    def nextCte(name: String, prev: String, mean: String) = s"""
+    $name AS (
+      SELECT s.cid, list(coalesce(m.m, s.c[t.i]) ORDER BY t.i) AS c
+      FROM $prev s CROSS JOIN range(1, ${Dim + 1}) t(i)
+      LEFT JOIN $mean m ON m.cid = s.cid AND m.dim = t.i
+      GROUP BY s.cid)"""
+    val iters = (0 until LloydIters).map { j =>
+      assignCte(s"a$j", s"c$j") + "," + meanCte(s"m$j", s"a$j") + "," +
+        nextCte(s"c${j + 1}", s"c$j", s"m$j")
+    }.mkString(",")
+    val f = LloydIters // the final codebook / assignment index
+    s"""
+    WITH kk AS (
+      SELECT greatest(16,
+        CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER)) AS k
+      FROM embeddings),
+    np AS (
+      SELECT greatest(4, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS INTEGER)) AS np
+      FROM kk),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+        emb AS c
+      FROM (SELECT vec_id, emb FROM emb, kk WHERE vec_id < kk.k) seeds),
+    $iters,
+    ${assignCte(s"a$f", s"c$f").trim},
+    pr AS (
+      SELECT query_id, cid, q_emb FROM (
+        SELECT q.vec_id AS query_id, c.cid, q.emb AS q_emb,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${d2("q.emb", "c.c")}, c.cid) AS rn
+        FROM a$f q CROSS JOIN c$f c
+        WHERE q.vec_id < $NumQueries) z, np
+      WHERE rn <= np.np),
+    scored AS (
+      SELECT pr.query_id, a.vec_id AS neighbor_id,
+        round(${VecSql.cosine("pr.q_emb", "a.emb", Dim)}, 6) AS cos
+      FROM pr JOIN a$f a ON a.cid = pr.cid AND a.vec_id <> pr.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3)
 
-  // s3's Lloyd means use float sums (order-dependent at the ULP level),
-  // so it stays rows-only with the recall spec; s2 is fully deterministic
-  // and hash-gated
   val oracles: Map[String, String] = Map(
-    "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql)
+    "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql,
+    "s3_ivf_ann" -> s3Sql)
 }

@@ -205,7 +205,7 @@ object StreamOps {
 
   val g5Sql: String = """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
           THEN 1 ELSE 0 END AS new_session
@@ -213,7 +213,7 @@ object StreamOps {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, ts,
-        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
     SELECT user_id, min(ts) AS session_start,

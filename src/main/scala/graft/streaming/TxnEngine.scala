@@ -121,42 +121,71 @@ object TxnEngine {
   // Multi-key: generation scheduling + distributed application
   // ---------------------------------------------------------------------
 
-  /** Txn ids that are the earliest remaining txn on *all* of their keys —
-    * one generation of the Calvin scheduler, as a distributed computation
-    * over (txn_id, key) metadata rows.
+  /** Conflict-layer ("generation") assignment over (txn_id, key) metadata
+    * rows — output is (txn_id, gen). A txn's generation is its
+    * longest-path depth in the conflict DAG whose edges connect
+    * consecutive txns on each key: exactly the partial order the
+    * reference's per-key lock-waiter queues drain without global
+    * synchronization (StreamyDb.scala:66-129).
+    *
+    * Computed by max-plus path doubling instead of one ready-set round per
+    * generation: R starts as the chain edges (distance 1) and every pass
+    * unions R with R∘R (join on the midpoint, add distances, keep the max
+    * per (src, dst) pair), doubling the resolved horizon — a depth-k
+    * conflict chain schedules in ceil(log2 k)+1 distributed passes, not k.
+    * gen(t) = max distance over pairs ending at t (0 for roots).
+    *
+    * Metadata cost, stated plainly: R holds (ancestor, descendant, dist)
+    * rows within conflict chains — O(n·depth) triples of longs, the price
+    * of trading depth-many scheduling barriers for log-many. Calvin-style
+    * engines bound n per scheduling epoch (here: the micro-batch), which
+    * bounds R; the txn *data* never enters the scheduler.
     */
-  private def readyIds(remaining: DataFrame): DataFrame = {
-    val earliest = remaining.groupBy(col("key"))
-      .agg(min(col("txn_id")).as("mn"))
-    remaining.join(earliest, "key")
-      .groupBy(col("txn_id"))
-      .agg(max(when(col("txn_id") === col("mn"), 0).otherwise(1)).as("blocked"))
-      .filter(col("blocked") === 0)
-      .select(col("txn_id"))
-  }
+  def generationsDF(txnKeys: DataFrame): DataFrame =
+    generationsCounted(txnKeys)._1
 
-  /** Assign conflict-free generations distributed: per round, every txn
-    * that is the earliest remaining txn on all of its keys joins the
-    * current generation (the Calvin sequencer/scheduler role). Input is
-    * (txn_id, key) metadata rows; output is (txn_id, gen). O(conflict
-    * chain depth) rounds of joins; the driver holds only the round
-    * counter, never the txn set.
+  /** [[generationsDF]] plus the number of distributed scheduling passes
+    * (the scale spec asserts it stays ~log2 of the conflict depth).
     */
-  def generationsDF(txnKeys: DataFrame): DataFrame = {
-    var remaining = txnKeys.localCheckpoint(true)
-    var out = txnKeys.sparkSession.emptyDataFrame
-      .select(lit(0L).as("txn_id"), lit(0).as("gen")).limit(0)
-    var gen = 0
-    while (!remaining.isEmpty) {
-      val ready = readyIds(remaining).localCheckpoint(true)
-      if (ready.isEmpty) throw new IllegalStateException("scheduler stalled")
-      out = out.union(ready.select(col("txn_id"), lit(gen).as("gen")))
-        .localCheckpoint(true)
-      remaining = remaining.join(ready, Seq("txn_id"), "left_anti")
-        .localCheckpoint(true)
-      gen += 1
+  def generationsCounted(txnKeys: DataFrame): (DataFrame, Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("txn_id"))
+    val ids = txnKeys.select(col("txn_id")).distinct().localCheckpoint(true)
+    val edges = txnKeys
+      .select(col("txn_id"), col("key")).distinct()
+      .withColumn("src", lag(col("txn_id"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .select(col("src"), col("txn_id").as("dst")).distinct()
+      .withColumn("d", lit(1L))
+      .localCheckpoint(true)
+    // (pair count, total distance) grows strictly monotonically until the
+    // max-plus closure is reached — a scalar convergence probe per pass
+    def weight(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
     }
-    out
+    var r = edges
+    var passes = 0
+    var prev = weight(r)
+    var converged = prev._1 == 0L
+    while (!converged) {
+      val squared = r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"),
+          (col("a.d") + col("b.d")).as("d"))
+      val next = r.union(squared)
+        .groupBy(col("src"), col("dst")).agg(max(col("d")).as("d"))
+        .localCheckpoint(true)
+      val cur = weight(next)
+      converged = cur == prev
+      prev = cur
+      r = next
+      passes += 1
+    }
+    val depth = r.groupBy(col("dst")).agg(max(col("d")).as("g"))
+    val gens = ids
+      .join(depth, ids("txn_id") === depth("dst"), "left_outer")
+      .select(ids("txn_id"), coalesce(col("g"), lit(0L)).cast("int").as("gen"))
+    (gens, passes)
   }
 
   /** Spec/driver convenience over [[generationsDF]]. */
@@ -201,25 +230,42 @@ object TxnEngine {
   private final case class FoldEmit(kind: Int, txnId: Long, key: Key,
       value: Value, succeeded: Boolean)
 
-  /** [[applyMultiKeyFrom]], also returning the number of scheduler phases
-    * (the hot-key scalability metric the spec asserts on).
+  /** Scheduler/apply statistics: `applyPhases` = the multi-key conflict
+    * depth (application is semantically sequential per generation);
+    * `schedulerPasses` = the pointer-doubled scheduling passes (~log2 of
+    * that depth — the scale spec's bound).
+    */
+  final case class MkStats(applyPhases: Int, schedulerPasses: Int)
+
+  /** [[applyMultiKeyStats]] returning only the apply-phase count (the
+    * hot-key scalability metric the interleaving specs assert on).
+    */
+  def applyMultiKeyCounted(initialState: DataFrame, txns: Dataset[Txn])
+      : (DataFrame, DataFrame, Int) = {
+    val (st, res, stats) = applyMultiKeyStats(initialState, txns)
+    (st, res, stats.applyPhases)
+  }
+
+  /** [[applyMultiKeyFrom]], also returning [[MkStats]].
     *
     * Hot-key posture (the reference's per-key lock-waiter queues,
     * StreamyDb.scala:66-129, let a hot key's chain drain without blocking
     * other keys): single-key-only txns never occupy scheduler rounds.
-    * Each phase (a) FOLDS every "ready" single-key txn — one distributed
+    * Scheduling runs ONCE up front in O(log conflict-depth) distributed
+    * passes ([[generationsCounted]] over the multi-key txns' metadata,
+    * plus one window assigning every single-key txn to the phase right
+    * after the last multi-key txn preceding it on its key). Each apply
+    * phase then (a) FOLDS that phase's single-key runs — one distributed
     * `cogroup` over (state, txns) per key, applying a whole consecutive
-    * run on that key in txnId order in one pass — and (b) applies the
-    * ready multi-key generation via the join-gate-merge. A single-key txn
-    * is ready when no earlier multi-key txn remains on its key; a
-    * multi-key txn is ready when it is the earliest remaining MULTI-key
-    * txn on each of its keys (earlier ready singles fold first within the
-    * same phase, so its asserts read post-fold state). Phases therefore
-    * count the multi-key conflict depth only: a 1,000-txn single-hot-key
-    * log folds in ONE phase instead of 1,000 generation rounds.
+    * run in txnId order in one pass — and (b) applies the conflict-free
+    * multi-key generation via join-gate-merge against the post-fold
+    * state. Per-phase work is at most TWO materializations (the fold and
+    * the state merge); per-txn results stay lazy against checkpointed
+    * inputs and union in batches. Phases count the multi-key conflict
+    * depth only: a 1,000-txn single-hot-key log folds in ONE phase.
     */
-  def applyMultiKeyCounted(initialState: DataFrame, txns: Dataset[Txn])
-      : (DataFrame, DataFrame, Int) = {
+  def applyMultiKeyStats(initialState: DataFrame, txns: Dataset[Txn])
+      : (DataFrame, DataFrame, MkStats) = {
     val spark = txns.sparkSession
     import spark.implicits._
     val tds = txns.localCheckpoint(true)
@@ -245,33 +291,53 @@ object TxnEngine {
         transform(col("updates"), u => u.getField("key"))))).as("key"))
     val arity = txnKeys.groupBy(col("txn_id"))
       .agg(count(lit(1)).as("nk"))
-    var remaining = txnKeys
+    val keyed = txnKeys
       .join(arity, "txn_id")
       .select(col("txn_id"), col("key"), (col("nk") > 1).as("is_multi"))
       .localCheckpoint(true)
+
+    // ---- scheduling: O(log depth) passes, all metadata-only ----
+    val (mGens, schedPasses) =
+      generationsCounted(keyed.filter(col("is_multi")).select(col("txn_id"), col("key")))
+    val gens = mGens.localCheckpoint(true)
+    // a single-key txn folds in the phase after the last multi-key txn
+    // preceding it on its key (phase 0 if none); each phase's fold applies
+    // the whole single-key run between two multis in one cogroup pass
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("txn_id"))
+    val singlesPhase = keyed
+      .join(gens, Seq("txn_id"), "left_outer")
+      .withColumn("ph",
+        coalesce(last(when(col("is_multi"), col("gen")), ignoreNulls = true)
+          .over(w) + 1, lit(0)))
+      .filter(!col("is_multi"))
+      .select(col("txn_id"), col("key"), col("ph"))
+      .localCheckpoint(true)
+    // driver-bounded scheduling scalars: the phase count and which phases
+    // fold singles — O(#phases), never the txn set
+    val maxMultiGen = {
+      val r = gens.agg(max(col("gen"))).head()
+      if (r.isNullAt(0)) -1 else r.getInt(0)
+    }
+    val singlePhases = singlesPhase.select(col("ph")).distinct()
+      .as[Int].collect().toSet
+    val numPhases = math.max(maxMultiGen + 1,
+      if (singlePhases.isEmpty) 0 else singlePhases.max + 1)
+
     var state = initialState
     // keyless txns never enter the scheduler: vacuously successful
-    var results = flat
-      .filter(size(col("asserts")) + size(col("updates")) === 0)
-      .select(col("txnId").as("txn_id"), lit(true).as("succeeded"))
-      .localCheckpoint(true)
-    var phases = 0
-    while (!remaining.isEmpty) {
-      // earliest remaining MULTI-key txn per key (null if none)
-      val multiMin = remaining.filter(col("is_multi"))
-        .groupBy(col("key")).agg(min(col("txn_id")).as("mmn"))
-        .localCheckpoint(true)
-      // (a) every single-key txn older than its key's earliest multi
-      val readySingles = remaining.filter(!col("is_multi"))
-        .join(multiMin, Seq("key"), "left_outer")
-        .filter(col("mmn").isNull || col("txn_id") < col("mmn"))
-        .select(col("txn_id"))
-        .localCheckpoint(true)
-      if (!readySingles.isEmpty) {
-        val sk = tds.join(readySingles, tds("txnId") === col("txn_id"),
+    val resultParts = scala.collection.mutable.ArrayBuffer[DataFrame](
+      flat.filter(size(col("asserts")) + size(col("updates")) === 0)
+        .select(col("txnId").as("txn_id"), lit(true).as("succeeded")))
+    var phase = 0
+    while (phase < numPhases) {
+      // (a) fold this phase's single-key runs — one cogroup, one job
+      if (singlePhases(phase)) {
+        val readyS = singlesPhase.filter(col("ph") === phase)
+        val sk = tds.join(readyS, tds("txnId") === readyS("txn_id"),
           "left_semi").as[Txn]
         val byKey = sk.groupByKey(t => (t.asserts ++ t.updates).head.key)
-        val touched = byKey.keys.toDF("key").localCheckpoint(true)
+        val touched = readyS.select(col("key")).distinct()
         val stTouched = state.join(touched, Seq("key"), "left_semi")
           .as[(Key, Value)]
         val folded = stTouched.groupByKey(_._1).cogroup(byKey) {
@@ -286,32 +352,22 @@ object TxnEngine {
             value.foreach(v => out += FoldEmit(0, -1L, k, v, false))
             out.result().iterator
         }.toDF().localCheckpoint(true)
-        results = results.union(
-            folded.filter(col("kind") === 1)
-              .select(col("txnId").as("txn_id"), col("succeeded")))
-          .localCheckpoint(true)
+        resultParts += folded.filter(col("kind") === 1)
+          .select(col("txnId").as("txn_id"), col("succeeded"))
         state = state.join(touched, Seq("key"), "left_anti")
           .union(folded.filter(col("kind") === 0)
             .select(col("key"), col("value")))
       }
       // (b) the conflict-free multi-key generation, against post-fold state
-      val ready = remaining.filter(col("is_multi")).join(multiMin, "key")
-        .groupBy(col("txn_id"))
-        .agg(max(when(col("txn_id") === col("mmn"), 0).otherwise(1)).as("blocked"))
-        .filter(col("blocked") === 0)
-        .select(col("txn_id"))
-        .localCheckpoint(true)
-      if (readySingles.isEmpty && ready.isEmpty)
-        throw new IllegalStateException("scheduler stalled")
-      if (!ready.isEmpty) {
+      if (phase <= maxMultiGen) {
+        val ready = gens.filter(col("gen") === phase).select(col("txn_id"))
         val failed = asserts.join(ready, "txn_id")
           .join(state, Seq("key"), "left_outer")
           .filter(!(col("expected") <=> col("value")))
           .select(col("txn_id")).distinct()
-        results = results.union(
-            ready.join(failed.withColumn("f", lit(1)), Seq("txn_id"), "left_outer")
-              .select(col("txn_id"), col("f").isNull.as("succeeded")))
-          .localCheckpoint(true)
+        resultParts += ready
+          .join(failed.withColumn("f", lit(1)), Seq("txn_id"), "left_outer")
+          .select(col("txn_id"), col("f").isNull.as("succeeded"))
         // generations are conflict-free, so ok-updates touch distinct keys
         val up = updates.join(ready, "txn_id")
           .join(failed, Seq("txn_id"), "left_anti")
@@ -322,14 +378,19 @@ object TxnEngine {
               .otherwise(col("value")).as("value"))
           .filter(col("value").isNotNull)
       }
+      // the phase's one global materialization (results stay lazy — their
+      // lineage is shallow joins over this checkpoint and the fold's)
       state = state.localCheckpoint(true)
-      remaining = remaining
-        .join(readySingles.union(ready.toDF()), Seq("txn_id"), "left_anti")
-        .localCheckpoint(true)
-      phases += 1
+      phase += 1
+      if (resultParts.length >= 32) { // keep the deferred union tree shallow
+        val merged = resultParts.reduce(_ union _).localCheckpoint(true)
+        resultParts.clear()
+        resultParts += merged
+      }
     }
+    val results = resultParts.reduce(_ union _)
     (state, results.select(col("txn_id").as("txnId"), col("succeeded")),
-      phases)
+      MkStats(phase, schedPasses))
   }
 
   /** Seq-input convenience (specs): collects only the per-txn results. */
@@ -382,7 +443,10 @@ object TxnEngine {
       val fs = hadoopFs(dir)
       val commits = new org.apache.hadoop.fs.Path(s"$dir/commits")
       if (fs.exists(commits)) {
-        val ids = fs.listStatus(commits).map(_.getPath.getName.toLong)
+        // only numeric names are commit markers — a stray temp/_SUCCESS-ish
+        // file dropped by a filesystem tool must not brick the restore
+        val ids = fs.listStatus(commits).map(_.getPath.getName)
+          .filter(_.matches("\\d+")).map(_.toLong)
         if (ids.nonEmpty) {
           lastCommitted = ids.max
           stateDf = spark.read.parquet(s"$dir/state/$lastCommitted")

@@ -96,6 +96,36 @@ class TxnEngineSpec extends AnyFunSuite {
     assert(phases <= 8, s"interleaved hot-key log took $phases phases")
   }
 
+  test("100-deep pure multi-key chain: log-bounded scheduler passes") {
+    import s.implicits._
+    // txn i touches keys c{i} and c{i+1}: every txn conflicts with both
+    // neighbors — a pure multi-key conflict chain of depth 100 with no
+    // single-key txns to peel. Application is semantically sequential
+    // (100 apply phases), but SCHEDULING must resolve in ~log2(100)
+    // pointer-doubled passes, not 100 ready-set rounds.
+    val txns = (0 until 100).map { i =>
+      Txn(i.toLong,
+        asserts = if (i == 0) Seq.empty
+          else Seq(KeyValueOption(s"c$i", Some(s"v${i - 1}"))),
+        updates = Seq(KeyValueOption(s"c$i", Some(s"v$i")),
+          KeyValueOption(s"c${i + 1}", Some(s"v$i"))))
+    }
+    val (stateDf, resultsDf, stats) = TxnEngine.applyMultiKeyStats(
+      Seq.empty[(String, String)].toDF("key", "value"), txns.toDS())
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    assert(resultsDf.as[MkResult].collect().toSeq.sortBy(_.txnId)
+      == oracleResults.sortBy(_.txnId))
+    assert(stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == oracleState)
+    assert(oracleResults.forall(_.succeeded), "chain asserts must all pass")
+    assert(stats.applyPhases == 100,
+      s"expected 100 sequential apply phases, got ${stats.applyPhases}")
+    // ceil(log2(99)) = 7 doubling passes + 1 convergence-verification pass
+    assert(stats.schedulerPasses <= 9,
+      s"scheduling took ${stats.schedulerPasses} passes for a 100-deep chain")
+    info(s"applyPhases=${stats.applyPhases} schedulerPasses=${stats.schedulerPasses}")
+  }
+
   test("multi-key stream recovers from its checkpoint after a kill/restart") {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mks_").toString
