@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads share this single JVM heap; 8g forced frequent
+  // full GCs under the allocation-heavy kernels (simhash, checkpointed
+  // pointer-doubling) and showed up as 2-3x run-to-run bench variance.
+  // The box has 128 GiB; 24g keeps GC off the critical path.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
