@@ -459,13 +459,15 @@ object Dedup {
   def d8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the shingle+md5 stage is the expensive part and feeds both sides of
-    // the overlap join — materialize it once
+    // the overlap join — materialize it once, lazily: an eager checkpoint
+    // would run the full shingle scan at plan-construction time (schema
+    // checks, dry runs), so defer it to the first real action
     val grams = Tables.documents(s, dir)
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id",
         explode(array_distinct(Text.shingles($"toks", 5))).as("g"))
       .select($"doc_id", md5($"g").as("gh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val evalSet = grams.filter($"doc_id" < EvalDocs)
       .select($"gh").distinct()
     val overlap = grams.filter($"doc_id" >= EvalDocs)

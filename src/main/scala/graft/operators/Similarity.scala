@@ -185,9 +185,10 @@ object Similarity {
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .localCheckpoint(true)
     val k = numCentroids(e.count())
-    // seed: the k lowest vec_ids (deterministic, cheap)
-    var centroids: Array[Array[Double]] = e.filter($"vec_id" < k)
-      .orderBy($"vec_id").collect()
+    // seed: the k lowest vec_ids by RANK (sort-limit, so exactly k seeds
+    // even if vec_ids are sparse — `vec_id < k` would silently under-seed)
+    var centroids: Array[Array[Double]] = e
+      .orderBy($"vec_id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
 
     // argmin over the codebook via broadcast cross-join + min(struct):
@@ -353,9 +354,11 @@ object Similarity {
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings),
     c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-        emb AS c
-      FROM (SELECT vec_id, emb FROM emb, kk WHERE vec_id < kk.k) seeds),
+      SELECT CAST(rn - 1 AS INTEGER) AS cid, emb AS c
+      FROM (SELECT vec_id, emb,
+              row_number() OVER (ORDER BY vec_id) AS rn
+            FROM emb) seeds, kk
+      WHERE seeds.rn <= kk.k),
     $iters,
     ${assignCte(s"a$f", s"c$f").trim},
     pr AS (

@@ -136,10 +136,18 @@ object TxnEngine {
     * gen(t) = max distance over pairs ending at t (0 for roots).
     *
     * Metadata cost, stated plainly: R holds (ancestor, descendant, dist)
-    * rows within conflict chains — O(n·depth) triples of longs, the price
-    * of trading depth-many scheduling barriers for log-many. Calvin-style
-    * engines bound n per scheduling epoch (here: the micro-batch), which
-    * bounds R; the txn *data* never enters the scheduler.
+    * rows within conflict chains — O(n·depth) triples of longs (O(n²) for
+    * one depth-n chain), and the R∘R midpoint join's pre-aggregate
+    * intermediate can approach O(n³) rows on deep/dense conflict graphs —
+    * the price of trading depth-many scheduling barriers for log-many.
+    * Calvin-style engines bound n per scheduling epoch (here: the
+    * micro-batch), which bounds R; the txn *data* never enters the
+    * scheduler. As a backstop for a pathological micro-batch, the
+    * convergence probe watches R's pair count and bails out to per-node
+    * label relaxation (O(E) state, one pass per depth level — the shape
+    * of the old ready-set scheduler) the moment the closure crosses
+    * [[MaxClosurePairs]], so shuffle volume is capped whichever way the
+    * batch is shaped.
     */
   def generationsDF(txnKeys: DataFrame): DataFrame =
     generationsCounted(txnKeys)._1
@@ -147,7 +155,19 @@ object TxnEngine {
   /** [[generationsDF]] plus the number of distributed scheduling passes
     * (the scale spec asserts it stays ~log2 of the conflict depth).
     */
-  def generationsCounted(txnKeys: DataFrame): (DataFrame, Int) = {
+  def generationsCounted(txnKeys: DataFrame): (DataFrame, Int) =
+    generationsCounted(txnKeys, MaxClosurePairs)
+
+  /** Closure-size backstop: once the max-plus relation holds more pairs
+    * than this, path doubling is abandoned for label relaxation (its
+    * *next* squaring could shuffle up to pairs²/n rows). 2M (ancestor,
+    * descendant, dist) triples ≈ 50 MB — trivially spillable, and far
+    * beyond any sane micro-batch's conflict metadata.
+    */
+  val MaxClosurePairs: Long = 2L * 1000 * 1000
+
+  private[graft] def generationsCounted(
+      txnKeys: DataFrame, maxClosurePairs: Long): (DataFrame, Int) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("txn_id"))
     val ids = txnKeys.select(col("txn_id")).distinct().localCheckpoint(true)
@@ -164,11 +184,16 @@ object TxnEngine {
       val row = df.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
       (row.getLong(0), row.getLong(1))
     }
+    def gensFromDepth(depth: DataFrame): DataFrame = ids
+      .join(depth, ids("txn_id") === depth("dst"), "left_outer")
+      .select(ids("txn_id"), coalesce(col("g"), lit(0L)).cast("int").as("gen"))
     var r = edges
     var passes = 0
     var prev = weight(r)
     var converged = prev._1 == 0L
     while (!converged) {
+      if (prev._1 > maxClosurePairs)
+        return relaxGenerations(ids, edges, passes)
       val squared = r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"),
           (col("a.d") + col("b.d")).as("d"))
@@ -181,11 +206,38 @@ object TxnEngine {
       r = next
       passes += 1
     }
-    val depth = r.groupBy(col("dst")).agg(max(col("d")).as("g"))
-    val gens = ids
-      .join(depth, ids("txn_id") === depth("dst"), "left_outer")
-      .select(ids("txn_id"), coalesce(col("g"), lit(0L)).cast("int").as("gen"))
-    (gens, passes)
+    (gensFromDepth(r.groupBy(col("dst")).agg(max(col("d")).as("g"))), passes)
+  }
+
+  /** Fallback scheduler: per-node longest-path labels by edge relaxation.
+    * State is one (txn_id, gen) row per txn (O(n)) and each pass shuffles
+    * only the edge relation (O(E)) — one distributed pass per conflict
+    * level, the pre-doubling cost shape. Converges when the label sum
+    * stops moving (labels only ever grow, by ≥1 per unconverged pass).
+    */
+  private def relaxGenerations(ids: DataFrame, edges: DataFrame,
+      passesSoFar: Int): (DataFrame, Int) = {
+    var gens = ids.withColumn("gen", lit(0L)).localCheckpoint(true)
+    var passes = passesSoFar
+    var prevSum = 0L
+    var converged = false
+    while (!converged) {
+      val relaxed = edges.join(gens, edges("src") === gens("txn_id"))
+        .select(edges("dst").as("txn_id"), (col("gen") + 1L).as("cand"))
+        .groupBy(col("txn_id")).agg(max(col("cand")).as("cand"))
+      val next = gens.as("g")
+        .join(relaxed.as("r"), col("g.txn_id") === col("r.txn_id"),
+          "left_outer")
+        .select(col("g.txn_id").as("txn_id"),
+          greatest(col("g.gen"), coalesce(col("r.cand"), lit(0L))).as("gen"))
+        .localCheckpoint(true)
+      val curSum = next.agg(coalesce(sum(col("gen")), lit(0L))).head().getLong(0)
+      converged = curSum == prevSum
+      prevSum = curSum
+      gens = next
+      passes += 1
+    }
+    (gens.select(col("txn_id"), col("gen").cast("int").as("gen")), passes)
   }
 
   /** Spec/driver convenience over [[generationsDF]]. */

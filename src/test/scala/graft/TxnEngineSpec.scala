@@ -126,6 +126,33 @@ class TxnEngineSpec extends AnyFunSuite {
     info(s"applyPhases=${stats.applyPhases} schedulerPasses=${stats.schedulerPasses}")
   }
 
+  test("scheduler bails from path doubling to label relaxation past the pair cap") {
+    import s.implicits._
+    // same chain shape as above at depth 40: the max-plus closure holds
+    // O(depth^2) pairs, so a tiny cap forces the relaxation fallback.
+    // Generations must be identical either way; only the pass count
+    // changes shape (log-bounded vs depth-bounded).
+    val txnKeys = (0 until 40).flatMap(i =>
+      Seq((i.toLong, s"c$i"), (i.toLong, s"c${i + 1}")))
+      .toDF("txn_id", "key")
+    val (gensDoubled, passesDoubled) =
+      TxnEngine.generationsCounted(txnKeys, TxnEngine.MaxClosurePairs)
+    val (gensRelaxed, passesRelaxed) =
+      TxnEngine.generationsCounted(txnKeys, 10L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = (0 until 40).map(i => i.toLong -> i).toMap
+    assert(toMap(gensDoubled) == expected)
+    assert(toMap(gensRelaxed) == expected)
+    assert(passesDoubled <= 8,
+      s"doubling took $passesDoubled passes for a 40-deep chain")
+    // relaxation advances one conflict level per pass (+ the capped
+    // doubling probes it started with + 1 convergence check)
+    assert(passesRelaxed >= 40 && passesRelaxed <= 45,
+      s"relaxation took $passesRelaxed passes for a 40-deep chain")
+    info(s"doubled=$passesDoubled relaxed=$passesRelaxed")
+  }
+
   test("multi-key stream recovers from its checkpoint after a kill/restart") {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mks_").toString
