@@ -225,19 +225,54 @@ object TxnQueries {
 
   /** a8: multi-key Calvin — generation-scheduled distributed application
     * (scheduling, assert evaluation, and state merges all run as
-    * DataFrame rounds; the driver holds a round counter). Rows-only in
-    * the gate (multi-key folds aren't SQL-expressible); spec-verified
-    * against the sequential interpreter.
+    * DataFrame rounds; the driver holds a round counter). Hash-gated by
+    * [[a8Sql]]'s recursive-CTE interpreter and spec-verified against the
+    * sequential interpreter.
     */
   def a8(s: SparkSession, dir: String): DataFrame =
     TxnEngine.applyMultiKey(multiKeyWorkloadDS(s, dir))._1
+
+  /** a8/a9 oracle: a sequential interpreter in SQL. The multi-key fold is
+    * replayed one txn per recursion step, carrying the whole KV state as
+    * a list-of-structs column (the keyspace is bounded: 50 u-keys + 97
+    * e-keys). Assert semantics mirror the engine: a txn with an
+    * assert-absent on its user key commits iff that key is currently
+    * unmapped; commits overwrite both keys (the event key is deleted when
+    * v % 5 = 0, matching [[multiKeyWorkloadDS]]). Gate-scale only — the
+    * state column is O(keyspace) per step, which is exactly why the
+    * engine itself schedules generations instead of folding sequentially.
+    */
+  val a8Sql: String = s"""
+    WITH RECURSIVE mk AS (
+      SELECT CAST(event_id AS BIGINT) AS txn_id,
+        'u' || CAST(user_id % 50 AS VARCHAR) AS k1,
+        'e' || CAST(event_id % 97 AS VARCHAR) AS k2,
+        CAST(floor(value * 100) AS BIGINT) AS v,
+        row_number() OVER (ORDER BY event_id) AS rn
+      FROM events WHERE event_id % 20 = 0),
+    steps AS (
+      SELECT 0 AS rn, CAST([] AS STRUCT(k VARCHAR, v VARCHAR)[]) AS st
+      UNION ALL
+      SELECT t.rn,
+        CASE WHEN (t.v % 2 <> 0)
+               OR len(list_filter(s.st, x -> x.k = t.k1)) = 0
+          THEN list_filter(s.st, x -> x.k <> t.k1 AND x.k <> t.k2)
+               || [struct_pack(k := t.k1, v := CAST(t.v AS VARCHAR))]
+               || CASE WHEN t.v % 5 = 0
+                    THEN CAST([] AS STRUCT(k VARCHAR, v VARCHAR)[])
+                    ELSE [struct_pack(k := t.k2, v := CAST(t.v AS VARCHAR))]
+                  END
+          ELSE s.st END
+      FROM steps s JOIN mk t ON t.rn = s.rn + 1),
+    final AS (SELECT st FROM steps ORDER BY rn DESC LIMIT 1)
+    SELECT u.x.k AS key, u.x.v AS value FROM final, unnest(final.st) u(x)"""
 
   /** a9: multi-key Calvin on a *stream* — the reference's feedback-loop
     * deployment shape (multi-key txns commit continuously; state carries
     * across micro-batches). Fed in three txnId-ordered micro-batches
     * through [[TxnEngine.MultiKeyStream]]'s foreachBatch sink; final
     * state must equal a8's batch result (spec proves both equal the
-    * sequential interpreter). Rows-only in the gate.
+    * sequential interpreter). Hash-gated by [[a8Sql]].
     */
   def a9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -402,6 +437,7 @@ object TxnQueries {
     "a1_txn_blind_state" -> a1Sql, "a2_txn_blind_results" -> a2Sql,
     "a3_txn_conditional_state" -> a3Sql, "a4_txn_conditional_results" -> a4Sql,
     "a5_stream_txn_kv" -> a5Sql, "a6_event_time_sort" -> a6Sql,
-    "a7_stream_watermark_agg" -> a7Sql, "a10_stream_file_txn" -> a1Sql,
+    "a7_stream_watermark_agg" -> a7Sql, "a8_txn_multikey" -> a8Sql,
+    "a9_stream_txn_multikey" -> a8Sql, "a10_stream_file_txn" -> a1Sql,
     "a11_heartbeat_agg" -> a7Sql, "a12_stream_file_multikey" -> a12Sql)
 }
