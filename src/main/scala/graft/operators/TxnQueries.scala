@@ -129,16 +129,19 @@ object TxnQueries {
 
   /** a5: the conditional log through Structured Streaming
     * (flatMapGroupsWithState), fed in two txn-ordered micro-batches so
-    * state crosses a batch boundary; final state must equal a3's.
+    * state crosses a batch boundary; final state must equal a3's. The
+    * txnId-midpoint split preserves per-key order across batches without
+    * materializing the log on the driver.
     */
   def a5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val txns = workload(s, dir).collect().sortBy(_.txnId)
-    val mid = if (txns.isEmpty) 0L else txns(txns.length / 2).txnId
-    val batches = Seq(
-      txns.filter(_.txnId < mid).toSeq, txns.filter(_.txnId >= mid).toSeq)
-    val emitted = StreamRunner.run(s, batches) { ds =>
-      TxnEngine.streamResults(ds, Conditional).toDF()
+    val txns = workload(s, dir)
+    val r = txns.agg(min($"txnId"), max($"txnId")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val emitted = StreamRunner.runFiles(s,
+      Seq(txns.filter($"txnId" < mid).toDF(),
+        txns.filter($"txnId" >= mid).toDF())) { df =>
+      TxnEngine.streamResults(df.as[SkTxn], Conditional).toDF()
     }
     emitted.groupBy($"key")
       .agg(max_by($"valueAfter", $"txnId").as("value"))
@@ -175,14 +178,12 @@ object TxnQueries {
     */
   def a7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, dir)
-      .select($"ts", $"event_type").as[(java.sql.Timestamp, String)]
-      .collect().toSeq
-    val maxTs = rows.map(_._1.getTime).max
-    val sentinel = (new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000), "zzz_sentinel")
-    val out = StreamRunner.run(s, Seq(rows, Seq(sentinel))) { ds =>
-      ds.toDF("ts", "event_type")
-        .withWatermark("ts", "10 minutes")
+    val ev = Tables.events(s, dir).select($"ts", $"event_type")
+    val maxTs = ev.agg(max($"ts")).as[java.sql.Timestamp].head().getTime
+    val sentinel = Seq((new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000),
+      "zzz_sentinel")).toDF("ts", "event_type")
+    val out = StreamRunner.runFiles(s, Seq(ev, sentinel)) { df =>
+      df.withWatermark("ts", "10 minutes")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).cast("long").as("n"))
         .select($"window.start".as("window_start"), $"event_type", $"n")
@@ -276,11 +277,19 @@ object TxnQueries {
     */
   def a9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val txns = multiKeyWorkload(s, dir)
-    val n = math.max(1, (txns.size + 2) / 3)
+    val txns = multiKeyWorkloadDS(s, dir)
+    // three txnId-range micro-batches (order-preserving split; only the
+    // id range reaches the driver)
+    val r = txns.agg(min($"txnId"), max($"txnId")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val batches = Seq(
+      txns.filter($"txnId" <= t1),
+      txns.filter($"txnId" > t1 && $"txnId" <= t2),
+      txns.filter($"txnId" > t2)).map(_.toDF())
     val mks = new TxnEngine.MultiKeyStream(s)
-    StreamRunner.runForeach(s, txns.grouped(n).map(_.toSeq).toSeq)(
-      (b: Dataset[TxnEngine.Txn], id: Long) => mks.processBatch(b, id))
+    StreamRunner.runForeachFiles(s, batches)(
+      (b: DataFrame, id: Long) => mks.processBatch(b.as[TxnEngine.Txn], id))
     mks.state.orderBy($"key")
   }
 
@@ -328,20 +337,28 @@ object TxnQueries {
   def a11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.Heartbeats
-    val rows = Tables.events(s, dir)
-      .select($"ts", $"event_type").as[(java.sql.Timestamp, String)]
-      .collect().sortBy(r => (r._1.getTime, r._2)).toSeq
     val nb = 4
-    val evBatches = rows.grouped(math.max(1, (rows.size + nb - 1) / nb)).toSeq
-    val hbBatches = evBatches.map(b =>
-      Seq((new java.sql.Timestamp(b.map(_._1.getTime).max), Heartbeats.Marker))) :+
-      Seq((new java.sql.Timestamp(
-        rows.map(_._1.getTime).max + 10L * 24 * 3600 * 1000), Heartbeats.Marker))
+    // four equal-count, time-ordered micro-batches (ntile over the global
+    // (ts, event_type) order — a single-partition sort, but that's the
+    // harness sequencing the replay, not the aggregate's plan); only the
+    // per-batch max timestamps (nb rows) reach the driver, to build the
+    // heartbeat markers the generator would emit
+    val quart = Tables.events(s, dir).select($"ts", $"event_type")
+      .withColumn("q", ntile(nb).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_type")))
+      .localCheckpoint(false)
+    val maxes = quart.groupBy($"q").agg(max($"ts").as("mx"))
+      .orderBy($"q").as[(Int, java.sql.Timestamp)].collect()
+    val evBatches = (1 to nb).map(i =>
+      quart.filter($"q" === i).select($"ts", $"event_type")) :+
+      quart.limit(0).select($"ts", $"event_type")
+    val hbBatches = maxes.toSeq.map { case (_, mx) =>
+      Seq((mx, Heartbeats.Marker)).toDF("ts", "event_type") } :+
+      Seq((new java.sql.Timestamp(maxes.map(_._2.getTime).max +
+        10L * 24 * 3600 * 1000), Heartbeats.Marker)).toDF("ts", "event_type")
     Heartbeats.dropHeartbeats(
-      StreamRunner.run2(s, evBatches :+ Seq.empty[(java.sql.Timestamp, String)],
-          hbBatches) { (ev, hb) =>
-        Heartbeats.windowedCounts(
-          ev.toDF("ts", "event_type"), hb.toDF("ts", "event_type"))
+      StreamRunner.run2Files(s, evBatches, hbBatches) { (ev, hb) =>
+        Heartbeats.windowedCounts(ev, hb)
       })
   }
 

@@ -12,16 +12,18 @@ object StreamOps {
   private type Q = (SparkSession, String) => DataFrame
 
   /** g1: streaming dedup — first occurrence of each (user_id, event_type)
-    * pair across micro-batches (dropDuplicates keyed state).
+    * pair across micro-batches (dropDuplicates keyed state). Fed from
+    * staged files ([[StreamRunner.runFiles]]): the events table never
+    * lands on the driver; the parity split is arbitrary (the distinct
+    * set is split-invariant).
     */
   def g1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, dir)
-      .select($"user_id", $"event_type").as[(Long, String)]
-      .collect().toSeq
-    val (b1, b2) = rows.splitAt(rows.length / 2)
-    StreamRunner.run(s, Seq(b1, b2)) { ds =>
-      ds.toDF("user_id", "event_type").dropDuplicates("user_id", "event_type")
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"event_type")
+    def half(p: Int) = ev.filter($"event_id" % 2 === p)
+      .select($"user_id", $"event_type")
+    StreamRunner.runFiles(s, Seq(half(0), half(1))) { df =>
+      df.dropDuplicates("user_id", "event_type")
     }
   }
 
@@ -46,25 +48,27 @@ object StreamOps {
     * arrives; a per-user far-future sentinel closes the tail session.
     * Events must arrive in (ts, event_id) order per user across batches
     * (the deterministic-order contract the reference's event-time sorter
-    * establishes; here the feeder sorts).
+    * establishes; here the time-midpoint batch split guarantees it, and
+    * the fold sorts within each micro-batch).
     */
   def g2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, dir)
-      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
-      .as[(Long, Long, Long)].collect()
-      .map(r => SessEvent(r._1, r._2, r._3))
-      .sortBy(e => (e.tsUs, e.eventId))
-    val mid = if (rows.isEmpty) 0L else rows(rows.length / 2).tsUs
-    val maxTs = if (rows.isEmpty) 0L else rows.map(_.tsUs).max
-    val sentinels = rows.map(_.userId).distinct
-      .map(u => SessEvent(u, maxTs + 2 * GapUs, -1L))
+    val ev = Tables.events(s, dir)
+      .select($"user_id".as("userId"), unix_micros($"ts").as("tsUs"),
+        $"event_id".as("eventId"))
+    // only bounded scalars (the time range) reach the driver; the
+    // midpoint split preserves per-user (ts, event_id) order across
+    // batches, which is all the state machine requires
+    val r = ev.agg(min($"tsUs"), max($"tsUs")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val sentinels = ev.select($"userId").distinct()
+      .select($"userId", lit(hi + 2 * GapUs).as("tsUs"),
+        lit(-1L).as("eventId"))
     val batches = Seq(
-      rows.filter(_.tsUs < mid).toSeq,
-      rows.filter(_.tsUs >= mid).toSeq,
-      sentinels.toSeq)
-    StreamRunner.run(s, batches) { ds =>
-      ds.groupByKey(_.userId)
+      ev.filter($"tsUs" < mid), ev.filter($"tsUs" >= mid), sentinels)
+    StreamRunner.runFiles(s, batches) { df =>
+      df.as[SessEvent].groupByKey(_.userId)
         .flatMapGroupsWithState[SessState, Session](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, gs) =>
           val out = List.newBuilder[Session]
@@ -88,29 +92,33 @@ object StreamOps {
   // same output contract as batch q22
   val g2Sql: String = graft.operators.Relational.q22Sql
 
-  final case class ViewEv(v_user: Long, view_id: Long, v_ts: java.sql.Timestamp)
-  final case class ClickEv(c_user: Long, click_id: Long, c_ts: java.sql.Timestamp)
-
   /** g3: stream-stream interval join with watermarks on both sides —
     * views joined to same-user clicks within (0, 10 min]. Same output
     * contract as batch q19; the range condition also bounds join state.
     */
-  def g3(s: SparkSession, dir: String): DataFrame = {
+  /** One side of the stream-stream joins: the typed event slice, split
+    * into (early, late) halves at its own time midpoint — batch data
+    * stays distributed, and the split keeps each side time-ordered
+    * across micro-batches so watermarks never discard joinable rows.
+    */
+  private def sideHalves(s: SparkSession, dir: String, tpe: String,
+      userCol: String, idCol: String, tsCol: String): Seq[DataFrame] = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
-    def rows(tpe: String): Seq[(Long, Long, java.sql.Timestamp)] =
-      ev.filter($"event_type" === tpe)
-        .select($"user_id", $"event_id", $"ts")
-        .as[(Long, Long, java.sql.Timestamp)].collect()
-        .sortBy(_._3.getTime).toSeq
-    def halves[T](xs: Seq[T]): Seq[Seq[T]] = {
-      val (b1, b2) = xs.splitAt(xs.length / 2); Seq(b1, b2)
-    }
-    val views = halves(rows("view").map(r => ViewEv(r._1, r._2, r._3)))
-    val clicks = halves(rows("click").map(r => ClickEv(r._1, r._2, r._3)))
-    StreamRunner.run2(s, views, clicks) { (v, c) =>
-      v.toDF().withWatermark("v_ts", "1 hour")
-        .join(c.toDF().withWatermark("c_ts", "1 hour"),
+    val side = Tables.events(s, dir).filter($"event_type" === tpe)
+      .select($"user_id".as(userCol), $"event_id".as(idCol), $"ts".as(tsCol))
+    val r = side.agg(min(col(tsCol)).cast("long"),
+      max(col(tsCol)).cast("long")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    Seq(side.filter(col(tsCol).cast("long") < mid),
+      side.filter(col(tsCol).cast("long") >= mid))
+  }
+
+  def g3(s: SparkSession, dir: String): DataFrame = {
+    val views = sideHalves(s, dir, "view", "v_user", "view_id", "v_ts")
+    val clicks = sideHalves(s, dir, "click", "c_user", "click_id", "c_ts")
+    StreamRunner.run2Files(s, views, clicks) { (v, c) =>
+      v.withWatermark("v_ts", "1 hour")
+        .join(c.withWatermark("c_ts", "1 hour"),
           expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 10 minutes"))
         .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
     }
@@ -126,24 +134,21 @@ object StreamOps {
     */
   def g7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
-    def rows(tpe: String): Seq[(Long, Long, java.sql.Timestamp)] =
-      ev.filter($"event_type" === tpe)
-        .select($"user_id", $"event_id", $"ts")
-        .as[(Long, Long, java.sql.Timestamp)].collect()
-        .sortBy(_._3.getTime).toSeq
-    val maxMs = ev.agg(max($"ts")).as[java.sql.Timestamp].head().getTime
-    def withSentinel(xs: Seq[(Long, Long, java.sql.Timestamp)])
-        : Seq[Seq[(Long, Long, java.sql.Timestamp)]] = {
-      val (b1, b2) = xs.splitAt(xs.length / 2)
-      val far = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
-      Seq(b1, b2, Seq((-1L, -1L, far)))
-    }
-    val views = withSentinel(rows("view")).map(_.map(r => ViewEv(r._1, r._2, r._3)))
-    val clicks = withSentinel(rows("click")).map(_.map(r => ClickEv(r._1, r._2, r._3)))
-    StreamRunner.run2(s, views, clicks) { (v, c) =>
-      v.toDF().withWatermark("v_ts", "1 hour")
-        .join(c.toDF().withWatermark("c_ts", "1 hour"),
+    val maxMs = Tables.events(s, dir).agg(max($"ts"))
+      .as[java.sql.Timestamp].head().getTime
+    val far = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+    def withSentinel(halves: Seq[DataFrame], userCol: String, idCol: String,
+        tsCol: String): Seq[DataFrame] =
+      halves :+ Seq((-1L, -1L, far)).toDF(userCol, idCol, tsCol)
+    val views = withSentinel(
+      sideHalves(s, dir, "view", "v_user", "view_id", "v_ts"),
+      "v_user", "view_id", "v_ts")
+    val clicks = withSentinel(
+      sideHalves(s, dir, "click", "c_user", "click_id", "c_ts"),
+      "c_user", "click_id", "c_ts")
+    StreamRunner.run2Files(s, views, clicks) { (v, c) =>
+      v.withWatermark("v_ts", "1 hour")
+        .join(c.withWatermark("c_ts", "1 hour"),
           expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 10 minutes"),
           "left_outer")
         .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
@@ -163,12 +168,10 @@ object StreamOps {
   def g4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_mktsegment")
-    val rows = Tables.events(s, dir)
-      .select($"event_id", $"user_id").as[(Long, Long)].collect()
-    val (b1, b2) = rows.splitAt(rows.length / 2)
-    StreamRunner.run(s, Seq(b1.toSeq, b2.toSeq)) { ds =>
-      ds.toDF("event_id", "user_id")
-        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id")
+    StreamRunner.runFiles(s,
+      Seq(ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))) { df =>
+      df.join(broadcast(cust), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
     }
   }
@@ -187,15 +190,19 @@ object StreamOps {
     */
   def g5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, dir)
-      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
-      .collect().sortBy(_._2.getTime)
-    val maxMs = rows.map(_._2.getTime).max
-    val sentinel = (-1L, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000))
-    val (b1, b2) = rows.splitAt(rows.length / 2)
-    StreamRunner.run(s, Seq(b1.toSeq, b2.toSeq, Seq(sentinel))) { ds =>
-      ds.toDF("user_id", "ts")
-        .withWatermark("ts", "0 seconds")
+    val ev = Tables.events(s, dir).select($"user_id", $"ts")
+    // the time-midpoint split keeps every batch entirely later than the
+    // previous batch's max event time, so the 0-second watermark never
+    // classifies a real event as late (same invariant the old sorted
+    // driver-side split provided)
+    val r = ev.agg(min($"ts").cast("long"), max($"ts").cast("long")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val maxMs = r.getLong(1) * 1000
+    val sentinel = Seq((-1L,
+      new java.sql.Timestamp(maxMs + 4L * 3600 * 1000))).toDF("user_id", "ts")
+    StreamRunner.runFiles(s, Seq(ev.filter($"ts".cast("long") < mid),
+      ev.filter($"ts".cast("long") >= mid), sentinel)) { df =>
+      df.withWatermark("ts", "0 seconds")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).cast("long").as("n_events"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
@@ -227,12 +234,13 @@ object StreamOps {
     */
   def g6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, dir)
-      .select($"event_type", $"user_id").as[(String, Long)].collect()
-    val (b1, b2) = rows.splitAt(rows.length / 2)
-    StreamRunner.run(s, Seq(b1.toSeq, b2.toSeq), outputMode = "complete") { ds =>
-      ds.toDF("event_type", "user_id")
-        .groupBy(col("event_type"))
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"event_type", $"user_id")
+    def half(p: Int) = ev.filter($"event_id" % 2 === p)
+      .select($"event_type", $"user_id")
+    StreamRunner.runFiles(s, Seq(half(0), half(1)),
+        outputMode = "complete") { df =>
+      df.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_events"),
           min(col("user_id")).as("first_user"),
           max(col("user_id")).as("last_user"))

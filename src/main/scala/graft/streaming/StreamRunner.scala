@@ -3,6 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
 
 /** Drives a Structured Streaming query synchronously from in-memory
   * batches (tests + the correctness gate run streams this way; production
@@ -36,6 +37,77 @@ object StreamRunner {
     try {
       batches.foreach { b => ms.addData(b); q.processAllAvailable() }
     } finally q.stop()
+  }
+
+  /** Stage `batches` on disk for file-source replay: each batch is
+    * written (distributed — the rows never land on the driver) as one
+    * parquet file in its own sequenced directory, and the files'
+    * modification times are spaced 60 s apart so the file source replays
+    * directories in batch order. Returns the source glob + schema.
+    */
+  private def stageBatches(tag: String, batches: Seq[DataFrame])
+      : (String, StructType) = {
+    require(batches.nonEmpty, "need at least one batch")
+    val root = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val base = (System.currentTimeMillis() / 1000) * 1000
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val dir = s"$root/b$i"
+      b.coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .foreach(_.setLastModified(base + i * 60000L))
+    }
+    (s"$root/b*", batches.head.schema)
+  }
+
+  /** File-fed variant of [[run]]: batches are staged as parquet files and
+    * replayed through a real `readStream` file source one file per
+    * micro-batch — no batch data is ever materialized on the driver (the
+    * production deployment points the same builder at a Kafka topic or
+    * file drop; see sources/TxnLog.scala for the mapping).
+    */
+  def runFiles(spark: SparkSession, batches: Seq[DataFrame],
+      outputMode: String = "append")(build: DataFrame => DataFrame)
+      : DataFrame = {
+    val (glob, schema) = stageBatches("gstream_", batches)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(glob)
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val q = build(src).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Two-source file-fed variant (stream-stream joins): each source
+    * replays its own staged batch sequence, one file per trigger.
+    */
+  def run2Files(spark: SparkSession, aBatches: Seq[DataFrame],
+      bBatches: Seq[DataFrame], outputMode: String = "append")(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val (aGlob, aSchema) = stageBatches("gstreamA_", aBatches)
+    val (bGlob, bSchema) = stageBatches("gstreamB_", bBatches)
+    def src(glob: String, schema: StructType) = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(glob)
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val q = build(src(aGlob, aSchema), src(bGlob, bSchema)).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** foreachBatch file-fed variant: staged batches replay in order, one
+    * per micro-batch, into `f` — the [[runForeach]] shape without the
+    * driver ever holding a batch.
+    */
+  def runForeachFiles(spark: SparkSession, batches: Seq[DataFrame])(
+      f: (DataFrame, Long) => Unit): Unit = {
+    val (glob, schema) = stageBatches("gforeach_", batches)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(glob)
+      .writeStream.foreachBatch(f).start()
+    try q.processAllAvailable() finally q.stop()
   }
 
   /** Two-source variant (stream-stream joins): batches are fed pairwise. */
