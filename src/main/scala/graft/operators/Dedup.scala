@@ -265,7 +265,7 @@ object Dedup {
     * random-hyperplane bucket up to Hamming 2 (the same deterministic
     * md5-derived planes as [[Similarity.s2]]), then exact cosine verifies
     * each candidate. The plane count grows with the corpus
-    * ([[Similarity.numPlanes]] ~ log2(N/4)), so bucket occupancy — and
+    * ([[d5Planes]] ~ log2(N)), so bucket occupancy — and
     * with it the candidate fraction — stays ~flat instead of a fixed
     * 64-bucket space emitting ~1/3 of all pairs. Candidates come from a
     * symmetric one-flip probe equi-join (both sides emit `bucket ^ mask`
@@ -277,9 +277,27 @@ object Dedup {
     * ids (per-row IEEE dot products are bitwise-equal across engines), so
     * the gate stays a full hash match.
     */
+  /** d5's plane count: occupancy target 1 (smallest p >= 6 with
+    * 2^p >= N) — two planes more than [[Similarity.numPlanes]]'s
+    * occupancy-4 at any corpus size. The pair-join is quadratic in
+    * bucket occupancy, so d5 wants much tighter buckets than the
+    * query-side-bounded s2: at occupancy 1 the candidate fraction stays
+    * under 0.5% of all-pairs even at the worst power-of-two boundary
+    * (measured 0.27% at 50.5k vectors, ScaleProbeSpec). The cost is a
+    * mild per-pair recall dip (~7% at cos 0.9 per extra plane — a true
+    * near-dup pair must still land within bucket Hamming 2); the spec's
+    * planted-twin floor guards it. Same integer threshold form as s2's,
+    * so the oracle mirrors it as exact CASE arms.
+    */
+  def d5Planes(n: Long): Int = {
+    var p = 6
+    while (p < Similarity.MaxPlanes && (1L << p) < n) p += 1
+    p
+  }
+
   def d5(s: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.embeddings(s, dir)
-    d5Of(e0, Similarity.numPlanes(e0.count()))
+    d5Of(e0, d5Planes(e0.count()))
   }
 
   /** MATERIALIZED (vec_id, embedding, bucket) table for [[d5]]'s plane
@@ -324,15 +342,15 @@ object Dedup {
   }
 
   val d5Sql: String = {
-    // the oracle is N-adaptive exactly like Similarity.numPlanes: all
-    // MaxPlanes plane rows are emitted and the used prefix is selected by
-    // exact integer CASE thresholds (smallest p >= 6 with 4*2^p >= count)
+    // the oracle is N-adaptive exactly like d5Planes: all MaxPlanes plane
+    // rows are emitted and the used prefix is selected by exact integer
+    // CASE thresholds (smallest p >= 6 with 2^p >= count)
     val planeRows = Similarity.planeWeights(Similarity.MaxPlanes).zipWithIndex
       .map { case (w, p) =>
         s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
       }.mkString(", ")
     val caseArms = (6 until Similarity.MaxPlanes)
-      .map(p => s"WHEN c <= ${4L << p} THEN $p")
+      .map(p => s"WHEN c <= ${1L << p} THEN $p")
       .mkString(" ")
     val dot =
       "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"

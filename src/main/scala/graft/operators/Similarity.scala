@@ -111,11 +111,11 @@ object Similarity {
     }.reduce(_ + _)
 
   /** s2: random-hyperplane LSH ANN — [[NumTables]] independent hash
-    * tables, multi-probe (Hamming <= 2 of the query's bucket) per table,
-    * candidates unioned, then exact cosine top-k within them. Rows-only
-    * (recall spec). The bucket id is the join key and the plane count
+    * tables, multi-probe (Hamming <= 3 of the query's bucket) per table,
+    * candidates unioned, then exact cosine top-k within them. The bucket
+    * id is the join key and the plane count
     * grows with the corpus ([[numPlanes]]), so candidates/query stay
-    * ~`tables * C(p,<=2) * occupancy` ~ log^2(N) — flat bucket occupancy
+    * ~`tables * C(p,<=3) * occupancy` ~ log^3(N) — flat bucket occupancy
     * instead of a fixed 64-bucket space that degenerates to N/3 per
     * query. The probe explosion is on the BOUNDED query side only (the
     * corpus side emits exactly one bucket per table), so widening the
@@ -138,7 +138,10 @@ object Similarity {
       .localCheckpoint(true)
     val pairFlips = for { i <- 0 until p; j <- (i + 1) until p }
       yield (1 << i) | (1 << j)
-    val masks = ((0 +: (0 until p).map(1 << _)) ++ pairFlips).map(lit)
+    val tripleFlips = for { i <- 0 until p; j <- (i + 1) until p;
+      l <- (j + 1) until p } yield (1 << i) | (1 << j) | (1 << l)
+    val masks = ((0 +: (0 until p).map(1 << _)) ++ pairFlips ++ tripleFlips)
+      .map(lit)
     (0 until NumTables).map { t =>
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
@@ -249,8 +252,8 @@ object Similarity {
     * candidate set is perfectly deterministic (md5-derived planes, exact
     * in-order dot products, tie-broken top-k) — so the DuckDB twin can
     * reproduce it bit-for-bit and s2 graduates from rows-only to a full
-    * hash match. "Candidate in some table's Hamming<=2 probe set" is one
-    * OR over the four tables' `bit_count(xor(q_bucket, c_bucket)) <= 2`
+    * hash match. "Candidate in some table's Hamming<=3 probe set" is one
+    * OR over the four tables' `bit_count(xor(q_bucket, c_bucket)) <= 3`
     * conditions; the plane count is N-adaptive exactly like d5's oracle
     * (integer CASE thresholds over all [[MaxPlanes]] emitted plane rows).
     */
@@ -278,7 +281,7 @@ object Similarity {
       .map(t => s"JOIN bkt$t v$t ON v$t.vec_id = e.vec_id")
       .mkString(" ")
     val anyTable = (0 until NumTables)
-      .map(t => s"bit_count(xor(q.b$t, c.b$t)) <= 2")
+      .map(t => s"bit_count(xor(q.b$t, c.b$t)) <= 3")
       .mkString(" OR ")
     s"""
     WITH np AS (

@@ -69,15 +69,15 @@ class ScaleProbeSpec extends AnyFunSuite {
     rows.result().toDF("vec_id", "embedding").repartition(32)
   }
 
-  test("d5 bucket candidates stay under 1% of all-pairs on a 50k-vector corpus") {
+  test("d5 bucket candidates stay under 0.5% of all-pairs on a 50k-vector corpus") {
     val emb = vectors(50000)
     val n = emb.count()
-    val planes = operators.Similarity.numPlanes(n)
+    val planes = Dedup.d5Planes(n)
     val e = Dedup.d5BucketsOf(emb, planes)
     val cands = Dedup.d5CandidatesOf(e, planes).count()
     val frac = cands / (n * (n - 1) / 2.0)
     info(f"vectors=$n planes=$planes candidates=$cands frac=$frac%.5f")
-    assert(frac < 0.01, f"candidate fraction $frac%.5f >= 1%% of all-pairs")
+    assert(frac < 0.005, f"candidate fraction $frac%.5f >= 0.5%% of all-pairs")
     assert(cands >= 500, s"only $cands candidates — planted twins missed?")
   }
 

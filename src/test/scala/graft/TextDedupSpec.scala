@@ -38,16 +38,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(d4p == d2p, s"simhash=${d4p.size} lsh=${d2p.size}")
   }
 
-  // thresholds are measured-with-margin: RecallProbe reports s2 at
-  // 0.82/0.84 and s3 at 0.86/0.96 (sf0.001/sf0.01) with the scaled
-  // plane/centroid counts — a nearly-broken index cannot pass these
-  test("s2 LSH ANN reaches recall >= 0.6 vs brute force") {
+  // thresholds are measured-with-margin: with the Hamming<=3 probe ring
+  // the bench reports s2 recall 0.96 at sf0.1 (was 0.66 at ring 2) and
+  // s3 at 0.86-0.96 across SFs — a nearly-broken index cannot pass these
+  test("s2 LSH ANN reaches recall >= 0.8 vs brute force") {
     val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = Similarity.s2(s, d).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & got).size.toDouble / truth.size
-    assert(recall >= 0.6, s"recall=$recall")
+    assert(recall >= 0.8, s"recall=$recall")
   }
 
   test("s3 IVF ANN reaches recall >= 0.7 vs brute force") {
