@@ -108,7 +108,37 @@ object Bench {
         val recall = (truth & got).size.toDouble / truth.size
         f""""${n}_recall":$recall%.3f,"${n}_candidates":$cands"""
       }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ann":$ann,"sf":"$sfDir"}""")
+    // scale probes: candidate-generation selectivity AND wall-time on
+    // synthetic corpora big enough that a quadratic shape would show
+    // (5.1k docs / 50.5k vectors — the ScaleProbeSpec corpora). Signature
+    // and bucket stages are materialized first so the timed section is
+    // the candidate join itself.
+    val probes = if (sys.env.getOrElse("SPARK_GRAFT_PROBES", "true") == "true") {
+      def timed(body: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val docs = operators.Synthetic.documents(spark, 5000)
+        .localCheckpoint(true)
+      val nd = docs.count()
+      val sigs = operators.Dedup.simhashesOf(docs).localCheckpoint(true)
+      val (c4, t4) = timed(operators.Dedup
+        .simhashCandidates(sigs, operators.Dedup.SimHashMaxHamming).count())
+      val (c2, t2) = timed(operators.Dedup.minhashCandidatesOf(docs).count())
+      val emb = operators.Synthetic.embeddings(spark, 50000)
+        .localCheckpoint(true)
+      val nv = emb.count()
+      val planes = operators.Dedup.d5Planes(nv)
+      val bkts = operators.Dedup.d5BucketsOf(emb, planes)
+      val (c5, t5) = timed(operators.Dedup.d5CandidatesOf(bkts, planes).count())
+      def frac(c: Long, n: Long): Double = c / (n * (n - 1) / 2.0)
+      f""","probes":{"docs":$nd,"vectors":$nv,""" +
+        f""""d4_sec":$t4%.3f,"d4_frac":${frac(c4, nd)}%.5f,""" +
+        f""""d2_sec":$t2%.3f,"d2_frac":${frac(c2, nd)}%.5f,""" +
+        f""""d5_sec":$t5%.3f,"d5_frac":${frac(c5, nv)}%.5f}"""
+    } else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ann":$ann$probes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
