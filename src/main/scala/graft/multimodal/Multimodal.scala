@@ -156,12 +156,49 @@ object Multimodal {
       md5(array_to_string(ss, '')) AS resized_md5
     FROM r"""
 
+  /** m6: audio frame-energy stub — the payload's characters stand in for
+    * PCM samples (codepoint = amplitude; a codec library would supply the
+    * real int16 decode), grouped into [[AudioFrame]]-sample frames
+    * (tail frame may be short, as in real audio), with integer energy
+    * (sum of squared amplitudes) and peak per frame. The explode →
+    * hash-aggregate shape is linear in corpus characters — the same
+    * scale class as shingling — and every statistic is integer-exact, so
+    * the gate is a full hash match. Char-based on both sides for the
+    * same reason as [[m2]].
+    */
+  val AudioFrame = 32
+  def m6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(length($"text") >= 1)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), length($"text") - 1),
+        i => ascii($"text".substr(i + 1, lit(1))))))
+      .toDF("doc_id", "pos", "code")
+      .groupBy($"doc_id",
+        floor($"pos" / AudioFrame).cast("long").as("frame_idx"))
+      .agg(sum(($"code" * $"code").cast("long")).as("energy"),
+        max($"code").cast("long").as("peak"))
+  }
+
+  val m6Sql: String = s"""
+    WITH c AS (
+      SELECT doc_id, i,
+        unicode(substring(text, CAST(i + 1 AS INT), 1)) AS code
+      FROM documents, unnest(range(0, length(text))) u(i)
+      WHERE length(text) >= 1)
+    SELECT doc_id, CAST(floor(i / $AudioFrame) AS BIGINT) AS frame_idx,
+      CAST(sum(code * code) AS BIGINT) AS energy,
+      CAST(max(code) AS BIGINT) AS peak
+    FROM c GROUP BY doc_id, frame_idx"""
+
   val queries: Map[String, Q] = Map(
     "m1_binary_meta" -> m1, "m2_frame_sample" -> m2, "m3_feature_stub" -> m3,
-    "m4_modality_router" -> m4, "m5_resize_stub" -> m5)
+    "m4_modality_router" -> m4, "m5_resize_stub" -> m5,
+    "m6_audio_energy_stub" -> m6)
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql, "m2_frame_sample" -> m2Sql,
     "m3_feature_stub" -> m3Sql, "m4_modality_router" -> m4Sql,
-    "m5_resize_stub" -> m5Sql)
+    "m5_resize_stub" -> m5Sql, "m6_audio_energy_stub" -> m6Sql)
 }

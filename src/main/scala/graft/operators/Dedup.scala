@@ -516,14 +516,66 @@ object Dedup {
     WHERE d.doc_id >= $EvalDocs"""
 
   private type QM = Map[String, Q]
+  /** Doc-id boundary between the "existing corpus" and the "arriving
+    * batch" halves of the gate table, and the verify threshold, for d9.
+    */
+  val IncrSplit = 250L
+  val IncrJaccard = 0.8
+
+  /** d9: incremental ingest dedup — an ARRIVING batch (doc_id >=
+    * [[IncrSplit]]) checked against the EXISTING corpus (doc_id <
+    * [[IncrSplit]]) through the banded MinHash index, exact-Jaccard
+    * verified, each new doc reporting its best existing match (highest
+    * jaccard, ties to the lowest corpus id). This is the steady-state
+    * 100 TB dedup shape: the corpus band table is a persisted index the
+    * pipeline maintains; each ingest batch band-joins against it
+    * (bucketed equi-join on (band_idx, band_hash)) instead of
+    * re-pairing the whole corpus, so per-batch cost ~ batch x occupancy.
+    */
+  def d9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sh = docs.withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", array_distinct(Text.shingles($"toks")).as("shingles"))
+      .localCheckpoint(false)
+    val bands = bandRowsOf(docs).localCheckpoint(true)
+    val corpus = bands.filter($"doc_id" < IncrSplit).toDF("a_id", "bi", "bh")
+    val fresh = bands.filter($"doc_id" >= IncrSplit).toDF("b_id", "bi2", "bh2")
+    val cand = corpus.join(fresh,
+        $"bi" === $"bi2" && $"bh" === $"bh2")
+      .select($"a_id", $"b_id").distinct()
+    val scored = cand
+      .join(sh.toDF("a_id", "a_sh"), "a_id")
+      .join(sh.toDF("b_id", "b_sh"), "b_id")
+      .select($"b_id".as("doc_id"), $"a_id".as("dup_of"),
+        round(size(array_intersect($"a_sh", $"b_sh")) * lit(1.0) /
+          size(array_union($"a_sh", $"b_sh")), 6).as("jaccard"))
+      .filter($"jaccard" >= IncrJaccard)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"jaccard".desc, $"dup_of")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+  }
+
+  val d9Sql: String = s"""
+    WITH pairs AS (${d3Sql})
+    SELECT doc_id, dup_of, jaccard FROM (
+      SELECT b_id AS doc_id, a_id AS dup_of, jaccard,
+        row_number() OVER (PARTITION BY b_id
+          ORDER BY jaccard DESC, a_id) AS rn
+      FROM pairs
+      WHERE a_id < $IncrSplit AND b_id >= $IncrSplit
+        AND jaccard >= $IncrJaccard) z
+    WHERE rn = 1"""
+
   val queries: QM = Map(
-    "d8_decontamination" -> d8,
+    "d8_decontamination" -> d8, "d9_incremental_dedup" -> d9,
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
     "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6,
     "d7_segment_dedup" -> d7)
 
   val oracles: Map[String, String] = Map(
-    "d8_decontamination" -> d8Sql,
+    "d8_decontamination" -> d8Sql, "d9_incremental_dedup" -> d9Sql,
     "d1_exact_dedup" -> d1Sql, "d2_minhash_lsh" -> d2Sql,
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql,

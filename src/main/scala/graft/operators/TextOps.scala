@@ -299,16 +299,51 @@ object TextOps {
         '$PhoneRe', '<PHONE>', 'g')) AS clean_md5
     FROM p"""
 
+  /** Corpus frequency at or below which a token counts as "rare". */
+  val RareMax = 2L
+
+  /** t12: rare-word quality stats — per-doc token count, rare-token count
+    * (corpus frequency <= [[RareMax]]) and rare fraction. A
+    * gibberish/OCR-noise signal for quality filtering: noisy docs are
+    * dominated by corpus-rare tokens. Two shuffles (corpus term
+    * frequency, then per-doc aggregate after the frequency join); the
+    * frequency table is vocabulary-sized, and every count is integer so
+    * the single rounded division hash-matches DuckDB exactly.
+    */
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(Text.tokens($"text")).as("w"))
+      .localCheckpoint(false)
+    val freq = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    toks.join(freq, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when($"cnt" <= RareMax, 1L).otherwise(0L)).cast("long").as("n_rare"))
+      .select($"doc_id", $"n_tokens", $"n_rare",
+        round($"n_rare" * lit(1.0) / $"n_tokens", 6).as("rare_frac"))
+  }
+
+  val t12Sql: String = s"""
+    WITH tok AS (SELECT doc_id, unnest(${TextSql.toks}) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      round(sum(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) * 1.0
+            / count(*), 6) AS rare_frac
+    FROM tok JOIN freq USING (w) GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
     "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
-    "t10_repetition" -> t10, "t11_pii_scrub" -> t11)
+    "t10_repetition" -> t10, "t11_pii_scrub" -> t11, "t12_rare_words" -> t12)
 
   val oracles: Map[String, String] = Map(
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,
     "t7_bpe_tokens" -> t7Sql, "t8_tfidf" -> t8Sql, "t9_train_split" -> t9Sql,
-    "t10_repetition" -> t10Sql, "t11_pii_scrub" -> t11Sql)
+    "t10_repetition" -> t10Sql, "t11_pii_scrub" -> t11Sql,
+    "t12_rare_words" -> t12Sql)
 }

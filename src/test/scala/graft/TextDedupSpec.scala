@@ -32,6 +32,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.d2(s, d).count() > 0)
   }
 
+  test("t12 rare fractions are consistent bounded ratios") {
+    val r = TextOps.t12(s, d)
+    assert(r.filter(col("n_rare") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("rare_frac") < 0 || col("rare_frac") > 1).count() == 0)
+    assert(r.count() > 0)
+  }
+
+  test("d9 incremental matches are cross-split, verified, and one per new doc") {
+    val r = Dedup.d9(s, d).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(1) < Dedup.IncrSplit), "dup_of must be corpus side")
+    assert(r.forall(_.getLong(0) >= Dedup.IncrSplit), "doc_id must be new side")
+    assert(r.forall(_.getDouble(2) >= Dedup.IncrJaccard))
+    assert(r.map(_.getLong(0)).distinct.length == r.length, "one best match per doc")
+    // d9's matches are exactly d3's verified cross-split pairs
+    val d3cross = Dedup.d3(s, d)
+      .filter(col("a_id") < Dedup.IncrSplit && col("b_id") >= Dedup.IncrSplit &&
+        col("jaccard") >= Dedup.IncrJaccard)
+      .select("b_id").distinct().count()
+    assert(r.length.toLong == d3cross)
+  }
+
+  test("m6 frame energies are exact sums with peak bounds") {
+    val r = Multimodal.m6(s, d)
+    assert(r.filter(col("energy") < col("peak") * col("peak")).count() == 0)
+    assert(r.filter(col("peak") <= 0).count() == 0)
+    // frames per doc = ceil(len/32)
+    val frames = r.groupBy("doc_id").count()
+      .join(sources.Tables.documents(s, d), "doc_id")
+      .filter(col("count") =!= ceil(length(col("text")) / Multimodal.AudioFrame.toDouble))
+    assert(frames.count() == 0)
+  }
+
   test("d4 simhash pairs equal the d2 candidate pairs on this corpus") {
     val d4p = Dedup.d4(s, d).select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d2p = Dedup.d2(s, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
