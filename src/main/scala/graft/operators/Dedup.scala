@@ -387,9 +387,14 @@ object Dedup {
     val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
       .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint(true)
-    var labels = Tables.documents(s, dir)
+    // iterate over the EDGE-INDUCED vertex set only: a doc with no
+    // near-dup edge keeps its own label, so the corpus never enters the
+    // propagation loop — each round shuffles O(edges), not O(corpus),
+    // and at 100 TB the loop runs on the (tiny) dup graph alone
+    var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("group_id"))
-    var converged = false
+      .localCheckpoint(true)
+    var converged = labels.isEmpty
     var rounds = 0
     val maxRounds = 25 // log2(diameter) rounds suffice; 2^25 ≫ any corpus
     while (!converged && rounds < maxRounds) {
@@ -416,7 +421,14 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"d6 label propagation did not converge within $maxRounds rounds; " +
         "component labels would be incorrect")
-    labels
+    // singletons label themselves; the dup-graph labels join back over
+    // the corpus (AQE broadcasts the checkpointed label table whenever
+    // the dup graph is small — the common case — and falls back to a
+    // shuffle join only when dup density genuinely warrants it)
+    Tables.documents(s, dir).select($"doc_id")
+      .join(labels.withColumnRenamed("group_id", "g"),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"g", $"doc_id").as("group_id"))
   }
 
   val d6Sql: String = s"""

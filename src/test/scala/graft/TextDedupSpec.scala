@@ -65,6 +65,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(frames.count() == 0)
   }
 
+  test("d6 groups: pairs share labels, labels are minima, singletons self-label") {
+    val labels = Dedup.d6(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.d2(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across groups") }
+    labels.groupBy(_._2).foreach { case (g, m) =>
+      assert(m.keys.min == g, s"group $g label is not its min doc_id") }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot(kv => inPairs(kv._1)).foreach { case (id, g) =>
+      assert(id == g, s"singleton $id labeled $g") }
+  }
+
   test("d4 simhash pairs equal the d2 candidate pairs on this corpus") {
     val d4p = Dedup.d4(s, d).select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d2p = Dedup.d2(s, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
