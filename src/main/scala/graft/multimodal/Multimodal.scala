@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2 F).
@@ -160,25 +160,31 @@ object Multimodal {
     * PCM samples (codepoint = amplitude; a codec library would supply the
     * real int16 decode), grouped into [[AudioFrame]]-sample frames
     * (tail frame may be short, as in real audio), with integer energy
-    * (sum of squared amplitudes) and peak per frame. The explode →
-    * hash-aggregate shape is linear in corpus characters — the same
-    * scale class as shingling — and every statistic is integer-exact, so
-    * the gate is a full hash match. Char-based on both sides for the
-    * same reason as [[m2]].
+    * (sum of squared amplitudes, widened to long BEFORE the multiply so
+    * codepoints past 46340 can't wrap 32-bit) and peak per frame. Frames
+    * are cut first ([[m2]]'s substr cost shape), then each ≤32-char frame
+    * aggregates its codepoints in place — per-doc cost O(len × frame),
+    * not O(len²); a codec deployment would decode binary via mapInPandas
+    * instead. Every statistic is integer-exact, so the gate is a full
+    * hash match; char-based on both sides for the same reason as [[m2]].
     */
   val AudioFrame = 32
   def m6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    def code(j: Column): Column =
+      ascii($"frame".substr(j, lit(1))).cast("long")
+    val nFrames = ceil(length($"text") / lit(AudioFrame.toDouble)).cast("int")
     Tables.documents(s, dir)
       .filter(length($"text") >= 1)
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(0), length($"text") - 1),
-        i => ascii($"text".substr(i + 1, lit(1))))))
-      .toDF("doc_id", "pos", "code")
-      .groupBy($"doc_id",
-        floor($"pos" / AudioFrame).cast("long").as("frame_idx"))
-      .agg(sum(($"code" * $"code").cast("long")).as("energy"),
-        max($"code").cast("long").as("peak"))
+      .withColumn("frames", transform(sequence(lit(0), nFrames - 1),
+        i => $"text".substr(i * AudioFrame + 1, lit(AudioFrame))))
+      .select($"doc_id", posexplode($"frames"))
+      .toDF("doc_id", "frame_idx", "frame")
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        aggregate(sequence(lit(1), length($"frame")), lit(0L),
+          (acc, j) => acc + code(j) * code(j)).as("energy"),
+        aggregate(sequence(lit(1), length($"frame")), lit(0L),
+          (acc, j) => greatest(acc, code(j))).as("peak"))
   }
 
   val m6Sql: String = s"""
@@ -188,7 +194,7 @@ object Multimodal {
       FROM documents, unnest(range(0, length(text))) u(i)
       WHERE length(text) >= 1)
     SELECT doc_id, CAST(floor(i / $AudioFrame) AS BIGINT) AS frame_idx,
-      CAST(sum(code * code) AS BIGINT) AS energy,
+      CAST(sum(CAST(code AS BIGINT) * code) AS BIGINT) AS energy,
       CAST(max(code) AS BIGINT) AS peak
     FROM c GROUP BY doc_id, frame_idx"""
 

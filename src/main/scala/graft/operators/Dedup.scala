@@ -550,7 +550,9 @@ object Dedup {
     val sh = docs.withColumn("toks", Text.tokens($"text"))
       .select($"doc_id", array_distinct(Text.shingles($"toks")).as("shingles"))
       .localCheckpoint(false)
-    val bands = bandRowsOf(docs).localCheckpoint(true)
+    // lazy for the same reason as d8's checkpoint: constructing the plan
+    // must not run the tokenize→minhash→band scan
+    val bands = bandRowsOf(docs).localCheckpoint(false)
     val corpus = bands.filter($"doc_id" < IncrSplit).toDF("a_id", "bi", "bh")
     val fresh = bands.filter($"doc_id" >= IncrSplit).toDF("b_id", "bi2", "bh2")
     val cand = corpus.join(fresh,

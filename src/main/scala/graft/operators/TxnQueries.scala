@@ -137,7 +137,8 @@ object TxnQueries {
     import s.implicits._
     val txns = workload(s, dir)
     val r = txns.agg(min($"txnId"), max($"txnId")).head()
-    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val mid = if (r.isNullAt(0)) 0L
+      else r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
     val emitted = StreamRunner.runFiles(s,
       Seq(txns.filter($"txnId" < mid).toDF(),
         txns.filter($"txnId" >= mid).toDF())) { df =>
@@ -179,7 +180,8 @@ object TxnQueries {
   def a7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).select($"ts", $"event_type")
-    val maxTs = ev.agg(max($"ts")).as[java.sql.Timestamp].head().getTime
+    val maxTs = Option(ev.agg(max($"ts")).as[java.sql.Timestamp].head())
+      .map(_.getTime).getOrElse(0L)
     val sentinel = Seq((new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000),
       "zzz_sentinel")).toDF("ts", "event_type")
     val out = StreamRunner.runFiles(s, Seq(ev, sentinel)) { df =>
@@ -281,7 +283,8 @@ object TxnQueries {
     // three txnId-range micro-batches (order-preserving split; only the
     // id range reaches the driver)
     val r = txns.agg(min($"txnId"), max($"txnId")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
     val batches = Seq(
       txns.filter($"txnId" <= t1),
@@ -352,10 +355,11 @@ object TxnQueries {
     val evBatches = (1 to nb).map(i =>
       quart.filter($"q" === i).select($"ts", $"event_type")) :+
       quart.limit(0).select($"ts", $"event_type")
+    val lastHb = if (maxes.isEmpty) 0L else maxes.map(_._2.getTime).max
     val hbBatches = maxes.toSeq.map { case (_, mx) =>
       Seq((mx, Heartbeats.Marker)).toDF("ts", "event_type") } :+
-      Seq((new java.sql.Timestamp(maxes.map(_._2.getTime).max +
-        10L * 24 * 3600 * 1000), Heartbeats.Marker)).toDF("ts", "event_type")
+      Seq((new java.sql.Timestamp(lastHb + 10L * 24 * 3600 * 1000),
+        Heartbeats.Marker)).toDF("ts", "event_type")
     Heartbeats.dropHeartbeats(
       StreamRunner.run2Files(s, evBatches, hbBatches) { (ev, hb) =>
         Heartbeats.windowedCounts(ev, hb)

@@ -60,7 +60,8 @@ object StreamOps {
     // midpoint split preserves per-user (ts, event_id) order across
     // batches, which is all the state machine requires
     val r = ev.agg(min($"tsUs"), max($"tsUs")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     val mid = lo + (hi - lo) / 2
     val sentinels = ev.select($"userId").distinct()
       .select($"userId", lit(hi + 2 * GapUs).as("tsUs"),
@@ -108,9 +109,12 @@ object StreamOps {
       .select($"user_id".as(userCol), $"event_id".as(idCol), $"ts".as(tsCol))
     val r = side.agg(min(col(tsCol)).cast("long"),
       max(col(tsCol)).cast("long")).head()
-    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
-    Seq(side.filter(col(tsCol).cast("long") < mid),
-      side.filter(col(tsCol).cast("long") >= mid))
+    if (r.isNullAt(0)) Seq(side, side) // empty side: two empty batches
+    else {
+      val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+      Seq(side.filter(col(tsCol).cast("long") < mid),
+        side.filter(col(tsCol).cast("long") >= mid))
+    }
   }
 
   def g3(s: SparkSession, dir: String): DataFrame = {
@@ -134,8 +138,8 @@ object StreamOps {
     */
   def g7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val maxMs = Tables.events(s, dir).agg(max($"ts"))
-      .as[java.sql.Timestamp].head().getTime
+    val maxMs = Option(Tables.events(s, dir).agg(max($"ts"))
+      .as[java.sql.Timestamp].head()).map(_.getTime).getOrElse(0L)
     val far = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
     def withSentinel(halves: Seq[DataFrame], userCol: String, idCol: String,
         tsCol: String): Seq[DataFrame] =
@@ -196,8 +200,10 @@ object StreamOps {
     // classifies a real event as late (same invariant the old sorted
     // driver-side split provided)
     val r = ev.agg(min($"ts").cast("long"), max($"ts").cast("long")).head()
-    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
-    val maxMs = r.getLong(1) * 1000
+    val (lo, hi) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val maxMs = hi * 1000
     val sentinel = Seq((-1L,
       new java.sql.Timestamp(maxMs + 4L * 3600 * 1000))).toDF("user_id", "ts")
     StreamRunner.runFiles(s, Seq(ev.filter($"ts".cast("long") < mid),

@@ -56,9 +56,29 @@ object StreamRunner {
       new java.io.File(dir).listFiles()
         .filter(f => f.isFile && !f.getName.startsWith("_") &&
           !f.getName.startsWith("."))
-        .foreach(_.setLastModified(base + i * 60000L))
+        .foreach { f =>
+          // replay ORDER depends on these mtimes — a filesystem that
+          // ignores setLastModified must fail loudly, not reorder state
+          // updates silently
+          require(f.setLastModified(base + i * 60000L),
+            s"cannot sequence staged batch file $f via setLastModified")
+        }
     }
     (s"$root/b*", batches.head.schema)
+  }
+
+  /** Best-effort recursive cleanup of a staged-batch root once its query
+    * has drained (the replay files are inputs only; results live in the
+    * sink), so repeated gate/bench runs don't accumulate table copies in
+    * the temp dir.
+    */
+  private def removeStaged(glob: String): Unit = {
+    val root = new java.io.File(glob.stripSuffix("/b*"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (root.getName.startsWith("graft_")) rm(root)
   }
 
   /** File-fed variant of [[run]]: batches are staged as parquet files and
@@ -76,7 +96,7 @@ object StreamRunner {
     val name = s"graft_stream_${n.incrementAndGet()}"
     val q = build(src).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); removeStaged(glob) }
     spark.table(name)
   }
 
@@ -93,7 +113,9 @@ object StreamRunner {
     val name = s"graft_stream_${n.incrementAndGet()}"
     val q = build(src(aGlob, aSchema), src(bGlob, bSchema)).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop(); removeStaged(aGlob); removeStaged(bGlob)
+    }
     spark.table(name)
   }
 
@@ -107,7 +129,7 @@ object StreamRunner {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(glob)
       .writeStream.foreachBatch(f).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); removeStaged(glob) }
   }
 
   /** Two-source variant (stream-stream joins): batches are fed pairwise. */
