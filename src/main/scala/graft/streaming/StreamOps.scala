@@ -258,15 +258,58 @@ object StreamOps {
       min(user_id) AS first_user, max(user_id) AS last_user
     FROM events GROUP BY event_type"""
 
+  /** g8: exact distinct users per hour window on a stream — CHAINED
+    * stateful operators (Spark 4 multi-stateful support): a first
+    * windowed aggregate closes one row per (hour window, user) as the
+    * watermark passes, and a second aggregate re-windows those finalized
+    * rows (`window(window, ...)`) into per-hour distinct-user counts.
+    * Sentinels advance the watermark THROUGH both stages and their
+    * far-future windows are post-filtered from the sink output — do NOT
+    * filter them out inside the stream: a sentinel filter placed after
+    * `withWatermark` gets predicate-pushed BELOW the watermark node by
+    * Catalyst, so the watermark silently never advances past the real
+    * data and the final window never flushes (observed, not
+    * hypothetical). Two sentinels, each later than the last: the first
+    * closes stage 1's final real window, the second lets stage 2 evict
+    * the row stage 1 just emitted.
+    */
+  def g8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"ts")
+    val r = ev.agg(min($"ts").cast("long"), max($"ts").cast("long")).head()
+    val (lo, hi) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    def sentinel(days: Long) = Seq((-1L,
+      new java.sql.Timestamp((hi + days * 24 * 3600) * 1000)))
+      .toDF("user_id", "ts")
+    StreamRunner.runFiles(s, Seq(ev.filter($"ts".cast("long") < mid),
+      ev.filter($"ts".cast("long") >= mid),
+      sentinel(30), sentinel(60))) { df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(col("window"), "1 hour"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .select(col("window.start").as("window_start"), col("n_users"))
+    }.filter(col("window_start").cast("long") <= hi)
+  }
+
+  val g8Sql: String = """
+    SELECT date_trunc('hour', ts) AS window_start,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY window_start"""
+
   val queries: Map[String, Q] = Map(
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
     "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4,
     "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6,
-    "g7_stream_outer_interval_join" -> g7)
+    "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
     "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql,
     "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql,
-    "g7_stream_outer_interval_join" -> g7Sql)
+    "g7_stream_outer_interval_join" -> g7Sql,
+    "g8_stream_distinct_users" -> g8Sql)
 }
