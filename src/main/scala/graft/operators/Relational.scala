@@ -499,6 +499,57 @@ object Relational {
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
   }
 
+  /** K for [[q36]]'s K-minimum-values estimator. */
+  val KmvK = 64
+
+  /** q36: deterministic approximate distinct counts — the K-minimum-values
+    * estimator over md5-hashed user ids, per event type. The
+    * gate-verifiable companion to [[q23]]: q23 uses Spark's native HLL++
+    * (memory-bounded, the 100 TB scale path, but its sketch can't be
+    * replayed by another engine), while KMV's estimate `(K-1)/h_K` depends
+    * only on the K smallest hash FRACTIONS — a deterministic function of
+    * the value set — so DuckDB reproduces it bit-for-bit and the sketch
+    * family gets a full hash gate. Groups with fewer than K distinct
+    * values fall back to the exact count (the estimator's standard
+    * small-range behavior). Ordering is on the fixed-width hex prefix
+    * (lexicographic == numeric), the fraction is an exact 32-bit integer
+    * scaled by a power of two, and the one division is a single IEEE op —
+    * portable to the bit.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+      .withColumn("hex", substring(md5($"user_id".cast("string")), 1, 8))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"hex", $"user_id")
+    val kth = d.withColumn("rn", row_number().over(w))
+      .filter($"rn" === KmvK)
+      .select($"event_type",
+        (conv($"hex", 16, 10).cast("double") / 4294967296.0).as("hk"))
+    d.groupBy($"event_type").agg(count(lit(1)).as("n_distinct"))
+      .join(kth, Seq("event_type"), "left_outer")
+      .select($"event_type",
+        round(when($"hk".isNull, $"n_distinct".cast("double"))
+          .otherwise(lit(KmvK - 1) / $"hk"), 4).as("approx_users"))
+  }
+
+  val q36Sql: String = s"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type, user_id,
+      substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS hex FROM d),
+    r AS (SELECT event_type, hex,
+      row_number() OVER (PARTITION BY event_type ORDER BY hex, user_id) AS rn
+      FROM h),
+    nd AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+    kth AS (SELECT event_type,
+      CAST(('0x' || hex)::UBIGINT AS DOUBLE) / 4294967296.0 AS hk
+      FROM r WHERE rn = $KmvK)
+    SELECT nd.event_type,
+      round(CASE WHEN kth.hk IS NULL THEN CAST(nd.n AS DOUBLE)
+        ELSE ${KmvK - 1} / kth.hk END, 4) AS approx_users
+    FROM nd LEFT JOIN kth USING (event_type)"""
+
   /** q24: GROUPING SETS through the engine's SQL face (tables registered
     * as views; same text runs on the oracle).
     */
@@ -742,9 +793,11 @@ object Relational {
     "q12_distinct" -> q12, "q13_rollup" -> q13, "q14_cube" -> q14,
     "q15_union" -> q15, "q16_case_agg" -> q16, "q17_percentile" -> q17,
     "q18_asof_join" -> q18, "q19_range_join" -> q19, "q20_pivot" -> q20,
-    "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22)
+    "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22,
+    "q36_kmv_distinct" -> q36)
 
   val oracles: Map[String, String] = Map(
+    "q36_kmv_distinct" -> q36Sql,
     "q32_avg_gated_anti" -> q32Sql, "q33_moving_avg" -> q33Sql,
     "q34_rank_buckets" -> q34Sql,
     "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,

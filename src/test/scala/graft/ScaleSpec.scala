@@ -76,4 +76,17 @@ class ScaleSpec extends AnyFunSuite {
       assert(math.abs(ap - ep) <= math.max(2.0, 0.05 * ep), s"$k parts $ap vs $ep")
     }
   }
+
+  test("q36 KMV estimate is within 3 sigma of exact distinct users") {
+    val approx = Relational.q36(s, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // KMV std error ~ 1/sqrt(K-1) ≈ 12.6% at K=64; allow 3 sigma
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) <= math.max(2.0, 0.38 * e), s"$k users $a vs $e")
+    }
+  }
 }
