@@ -74,7 +74,8 @@ object Bench {
     // one round recorded a 12x outlier on an unchanged query). The min is
     // the statistic that converges to the actual plan cost; K stays small
     // because the shapes are already codegen-warm.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+      .toOption.filter(_ > 0).getOrElse(3)
     val results = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>

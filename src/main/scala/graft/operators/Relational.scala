@@ -515,6 +515,12 @@ object Relational {
     * (lexicographic == numeric), the fraction is an exact 32-bit integer
     * scaled by a power of two, and the one division is a single IEEE op —
     * portable to the bit.
+    *
+    * Canonical KMV ranks DISTINCT hash values — two users colliding on
+    * the same 8-hex prefix occupy ONE rank, not two (ranking the raw rows
+    * would bias the K-th hash low and the estimate with it) — and a K-th
+    * prefix of literally "00000000" (hk = 0, estimate would be Inf) falls
+    * back to the exact count like the under-K case.
     */
   def q36(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -522,31 +528,32 @@ object Relational {
       .select($"event_type", $"user_id").distinct()
       .withColumn("hex", substring(md5($"user_id".cast("string")), 1, 8))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"event_type").orderBy($"hex", $"user_id")
-    val kth = d.withColumn("rn", row_number().over(w))
+      .partitionBy($"event_type").orderBy($"hex")
+    val kth = d.select($"event_type", $"hex").distinct()
+      .withColumn("rn", row_number().over(w))
       .filter($"rn" === KmvK)
       .select($"event_type",
         (conv($"hex", 16, 10).cast("double") / 4294967296.0).as("hk"))
     d.groupBy($"event_type").agg(count(lit(1)).as("n_distinct"))
       .join(kth, Seq("event_type"), "left_outer")
       .select($"event_type",
-        round(when($"hk".isNull, $"n_distinct".cast("double"))
+        round(when($"hk".isNull || $"hk" === 0.0, $"n_distinct".cast("double"))
           .otherwise(lit(KmvK - 1) / $"hk"), 4).as("approx_users"))
   }
 
   val q36Sql: String = s"""
     WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-    h AS (SELECT event_type, user_id,
+    h AS (SELECT DISTINCT event_type,
       substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS hex FROM d),
     r AS (SELECT event_type, hex,
-      row_number() OVER (PARTITION BY event_type ORDER BY hex, user_id) AS rn
+      row_number() OVER (PARTITION BY event_type ORDER BY hex) AS rn
       FROM h),
     nd AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
     kth AS (SELECT event_type,
       CAST(('0x' || hex)::UBIGINT AS DOUBLE) / 4294967296.0 AS hk
       FROM r WHERE rn = $KmvK)
     SELECT nd.event_type,
-      round(CASE WHEN kth.hk IS NULL THEN CAST(nd.n AS DOUBLE)
+      round(CASE WHEN kth.hk IS NULL OR kth.hk = 0 THEN CAST(nd.n AS DOUBLE)
         ELSE ${KmvK - 1} / kth.hk END, 4) AS approx_users
     FROM nd LEFT JOIN kth USING (event_type)"""
 

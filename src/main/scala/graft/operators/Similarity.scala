@@ -140,12 +140,15 @@ object Similarity {
       yield (1 << i) | (1 << j)
     val tripleFlips = for { i <- 0 until p; j <- (i + 1) until p;
       l <- (j + 1) until p } yield (1 << i) | (1 << j) | (1 << l)
-    val masks = ((0 +: (0 until p).map(1 << _)) ++ pairFlips ++ tripleFlips)
-      .map(lit)
+    // ONE array literal + a transform lambda, not C(p,<=3) XOR literal
+    // expressions: at p=30 that is ~4.5k masks x 4 tables, and a plan
+    // with ~18k literal nodes is slow to analyze and blows string dumps
+    val masks = typedLit((0 +: (0 until p).map(1 << _)) ++
+      pairFlips ++ tripleFlips)
     (0 until NumTables).map { t =>
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-          explode(array(masks.map(col(s"b$t").bitwiseXOR(_)): _*)).as("probe"))
+          explode(transform(masks, m => col(s"b$t").bitwiseXOR(m))).as("probe"))
       val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
         col(s"b$t").as("n_bucket"))
       c.join(broadcast(q),

@@ -44,11 +44,26 @@ object StreamRunner {
     * parquet file in its own sequenced directory, and the files'
     * modification times are spaced 60 s apart so the file source replays
     * directories in batch order. Returns the source glob + schema.
+    *
+    * The staging root must be visible to BOTH the driver (which touches
+    * mtimes) and the executors (which write the parquet) — i.e. a shared
+    * filesystem. That holds trivially in local mode (the gate/test path);
+    * on a real cluster set `spark.graft.stagingDir` to a shared mount or
+    * distributed-FS path, or feed the query from a durable source
+    * directly (the a10/a12 pattern) instead of staging.
     */
   private def stageBatches(tag: String, batches: Seq[DataFrame])
       : (String, StructType) = {
     require(batches.nonEmpty, "need at least one batch")
-    val root = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val conf = batches.head.sparkSession.conf
+      .getOption("spark.graft.stagingDir")
+    val root = conf match {
+      case Some(base) =>
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), s"graft_$tag").toString
+      case None =>
+        java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    }
     val base = (System.currentTimeMillis() / 1000) * 1000
     batches.zipWithIndex.foreach { case (b, i) =>
       val dir = s"$root/b$i"
