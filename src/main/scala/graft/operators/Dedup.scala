@@ -384,6 +384,28 @@ object Dedup {
   def d6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = minhashCandidates(s, dir).localCheckpoint(true)
+    val labels = componentsOf(pairs)
+    // singletons label themselves; the dup-graph labels join back over
+    // the corpus (AQE broadcasts the checkpointed label table whenever
+    // the dup graph is small — the common case — and falls back to a
+    // shuffle join only when dup density genuinely warrants it)
+    Tables.documents(s, dir).select($"doc_id")
+      .join(labels.withColumnRenamed("group_id", "g"),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"g", $"doc_id").as("group_id"))
+  }
+
+  /** Min-label connected components over an undirected pair list
+    * (`a_id`, `b_id`): every vertex appearing in some pair is labeled
+    * with the smallest id reachable through the pairs — pointer-doubled
+    * propagation, O(log diameter) rounds, each shuffling O(edges).
+    * Returns `(doc_id, group_id)` for the edge-induced vertex set ONLY
+    * (callers left-join the corpus so untouched rows never enter the
+    * loop). Shared by [[d6]] (text near-dup groups) and [[d11]]
+    * (embedding-space components).
+    */
+  def componentsOf(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
     val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
       .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint(true)
@@ -419,16 +441,9 @@ object Dedup {
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"d6 label propagation did not converge within $maxRounds rounds; " +
+      s"label propagation did not converge within $maxRounds rounds; " +
         "component labels would be incorrect")
-    // singletons label themselves; the dup-graph labels join back over
-    // the corpus (AQE broadcasts the checkpointed label table whenever
-    // the dup graph is small — the common case — and falls back to a
-    // shuffle join only when dup density genuinely warrants it)
-    Tables.documents(s, dir).select($"doc_id")
-      .join(labels.withColumnRenamed("group_id", "g"),
-        Seq("doc_id"), "left_outer")
-      .select($"doc_id", coalesce($"g", $"doc_id").as("group_id"))
+    labels
   }
 
   val d6Sql: String = s"""
@@ -582,16 +597,90 @@ object Dedup {
         AND jaccard >= $IncrJaccard) z
     WHERE rn = 1"""
 
+  /** d10: canonical-document selection — the KEEP decision a dedup
+    * pipeline runs after grouping: within every multi-member [[d6]] dup
+    * group, keep the member with the highest [[TextOps.t2]] quality
+    * score (ties to the lowest doc_id) and report the group size. The
+    * corpus-wide work is d6 + t2 (both linear); the ranking window runs
+    * only over members of multi-member groups — the (tiny) dup graph —
+    * after a broadcast semi-reduction, so no corpus-sized window state.
+    */
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = d6(s, dir)
+    val multi = groups.groupBy($"group_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .filter($"n_docs" >= 2)
+    val quality = TextOps.t2(s, dir).select($"doc_id", $"quality")
+    val members = groups.join(broadcast(multi), "group_id")
+      .join(quality, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"group_id").orderBy($"quality".desc, $"doc_id")
+    members.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"group_id", $"doc_id".as("keep_doc"),
+        $"quality".as("keep_quality"), $"n_docs")
+  }
+
+  val d10Sql: String = s"""
+    WITH g AS (${d6Sql}),
+    q AS (${TextOps.t2Sql}),
+    multi AS (
+      SELECT group_id, CAST(count(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY group_id HAVING count(*) >= 2)
+    SELECT group_id, keep_doc, keep_quality, n_docs FROM (
+      SELECT m.group_id, g.doc_id AS keep_doc, q.quality AS keep_quality,
+        m.n_docs,
+        row_number() OVER (PARTITION BY m.group_id
+          ORDER BY q.quality DESC, g.doc_id) AS rn
+      FROM multi m JOIN g USING (group_id) JOIN q USING (doc_id)) z
+    WHERE rn = 1"""
+
+  /** d11: semantic dedup DECISION over the embedding corpus (the
+    * SemDeDup shape: embedding-space near-duplicates collapse to one
+    * representative): connected components over [[d5]]'s
+    * cosine >= [[CosineThreshold]] pairs, each vector labeled with its
+    * component representative (smallest vec_id) and a keep flag.
+    * Singletons keep themselves. Components run on the near-dup graph
+    * only; the corpus-wide step is one left join — the same 100 TB
+    * shape as [[d6]]/[[d10]] but over embedding geometry instead of
+    * text shingles.
+    */
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = d5(s, dir).select($"a_id", $"b_id").localCheckpoint(true)
+    val labels = componentsOf(pairs)
+    Tables.embeddings(s, dir).select($"vec_id")
+      .join(labels.toDF("vec_id", "g"), Seq("vec_id"), "left_outer")
+      .select($"vec_id", coalesce($"g", $"vec_id").as("rep_id"))
+      .withColumn("keep", $"vec_id" === $"rep_id")
+  }
+
+  val d11Sql: String = s"""
+    WITH RECURSIVE cand AS (${d5Sql}),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cand
+      UNION ALL SELECT b_id, a_id FROM cand),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.dst AS id, rc.r FROM reach rc JOIN edges e ON e.src = rc.id)
+    SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS rep_id,
+      min(r) = id AS keep
+    FROM reach GROUP BY id"""
+
   val queries: QM = Map(
     "d8_decontamination" -> d8, "d9_incremental_dedup" -> d9,
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
     "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6,
-    "d7_segment_dedup" -> d7)
+    "d7_segment_dedup" -> d7, "d10_canonical_pick" -> d10,
+    "d11_semantic_dedup" -> d11)
 
   val oracles: Map[String, String] = Map(
     "d8_decontamination" -> d8Sql, "d9_incremental_dedup" -> d9Sql,
     "d1_exact_dedup" -> d1Sql, "d2_minhash_lsh" -> d2Sql,
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql,
-    "d7_segment_dedup" -> d7Sql)
+    "d7_segment_dedup" -> d7Sql, "d10_canonical_pick" -> d10Sql,
+    "d11_semantic_dedup" -> d11Sql)
 }

@@ -785,7 +785,83 @@ object Relational {
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     GROUP BY n_name"""
 
+  /** Per-stratum sampling rates for [[q37]], expressed as exact integer
+    * thresholds over the 32-bit md5-prefix space (rate = thr / 2^32):
+    * 10% of finished, 20% of open, 50% of pending orders.
+    */
+  val StratRates: Seq[(String, Long)] = Seq(
+    "F" -> 429496729L, "O" -> 858993459L, "P" -> 2147483648L)
+
+  /** q37: deterministic stratified sampling — the class-rebalancing
+    * subsample step a training pipeline runs on over-represented strata.
+    * A row is kept iff the 32-bit fraction of `md5('strat' || key)` is
+    * below its stratum's threshold: a pure per-row predicate (same md5
+    * discipline as t9's split), so the sample is reproducible, the scan
+    * is one linear pass, and the rate table joins as a broadcast.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = StratRates.toDF("st", "thr")
+    val frac = conv(
+      substring(md5(concat(lit("strat"), $"o_orderkey".cast("string"))), 1, 8),
+      16, 10).cast("long")
+    Tables.orders(s, dir)
+      .join(broadcast(rates), $"o_orderstatus" === $"st")
+      .filter(frac < $"thr")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+  }
+
+  val q37Sql: String = {
+    val rows = StratRates.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    s"""
+    WITH r(st, thr) AS (VALUES $rows)
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders JOIN r ON o_orderstatus = r.st
+    WHERE CAST(('0x' || substring(md5('strat' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) < thr"""
+  }
+
+  /** q38: conversion funnel — per user, the first view, the first click
+    * AFTER that view, and the first purchase AFTER that click, plus the
+    * funnel stage reached (1-3). Three aggregates all keyed on user_id:
+    * the first shuffle establishes the partitioning and the later joins
+    * reuse it (co-partitioned equi-joins), so the chain costs one
+    * real exchange of the events table.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select($"user_id", $"v_ts", $"c_ts", $"p_ts",
+        (lit(1) + when($"c_ts".isNull, 0).otherwise(1) +
+          when($"p_ts".isNull, 0).otherwise(1)).as("stage"))
+  }
+
+  val q38Sql: String = """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+    SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+      CAST(1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id"""
+
   val queries: Map[String, Q] = Map(
+    "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
     "q32_avg_gated_anti" -> q32, "q33_moving_avg" -> q33,
     "q34_rank_buckets" -> q34,
     "q30_min_cost_supplier" -> q30, "q31_nested_exists" -> q31,
@@ -805,6 +881,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q36_kmv_distinct" -> q36Sql,
+    "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
     "q32_avg_gated_anti" -> q32Sql, "q33_moving_avg" -> q33Sql,
     "q34_rank_buckets" -> q34Sql,
     "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,

@@ -333,13 +333,61 @@ object TextOps {
             / count(*), 6) AS rare_frac
     FROM tok JOIN freq USING (w) GROUP BY doc_id"""
 
+  /** t13: bigram fluency score — a corpus-statistical language-model
+    * proxy for quality filtering: per doc, the mean corpus frequency of
+    * its word bigrams (fluent prose reuses common word transitions;
+    * gibberish and boilerplate-free noise sit on rare ones). The bigram
+    * table is built once (one explode + checkpoint), counted with one
+    * hash aggregate, and joined back — the t8/t12 single-scan shape, all
+    * integer until the final rounded division. Docs with < 2 tokens
+    * score 0 with n_bigrams = 0.
+    */
+  def t13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+    val bgArr = when(size($"toks") >= 2,
+      transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bg = toks.select($"doc_id", explode(bgArr).as("bg"))
+      .localCheckpoint(false)
+    val freq = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
+    val perDoc = bg.join(freq, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum($"cnt").cast("long").as("freq_sum"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        round(coalesce($"freq_sum" * lit(1.0) / $"n_bigrams", lit(0.0)), 6)
+          .as("fluency"))
+  }
+
+  val t13Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+        unnest(list_transform(range(1, CAST(len(toks) AS INT)),
+          i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM tok),
+    freq AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        sum(cnt) AS freq_sum
+      FROM bg JOIN freq USING (bg) GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+      round(COALESCE(pd.freq_sum * 1.0 / pd.n_bigrams, 0.0), 6) AS fluency
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "t13_bigram_fluency" -> t13,
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
     "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
     "t10_repetition" -> t10, "t11_pii_scrub" -> t11, "t12_rare_words" -> t12)
 
   val oracles: Map[String, String] = Map(
+    "t13_bigram_fluency" -> t13Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,

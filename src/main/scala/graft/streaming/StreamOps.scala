@@ -300,13 +300,40 @@ object StreamOps {
       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY window_start"""
 
+  /** g9: streaming top-k — the live "heaviest keys" dashboard query:
+    * per-user event counts re-ranked every micro-batch, final table =
+    * the top-10 users (ties to the lowest user_id). Sort + limit after
+    * an aggregation is exactly what complete output mode licenses; the
+    * per-batch state is the (bounded) aggregate table, and the sort runs
+    * on the aggregate — corpus rows are never globally sorted.
+    */
+  def g9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id")
+    def half(p: Int) = ev.filter($"event_id" % 2 === p).select($"user_id")
+    StreamRunner.runFiles(s, Seq(half(0), half(1)),
+        outputMode = "complete") { df =>
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(10)
+    }
+  }
+
+  val g9Sql: String = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
+    "g9_stream_topk" -> g9,
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
     "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4,
     "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6,
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
+    "g9_stream_topk" -> g9Sql,
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
     "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql,
     "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql,

@@ -55,6 +55,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q37 sample rates land near the per-stratum targets") {
+    val total = sources.Tables.orders(s, d)
+      .groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Relational.q37(s, d)
+      .groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.StratRates.foreach { case (st, thr) =>
+      val rate = thr.toDouble / 4294967296.0
+      val n = total(st).toDouble
+      val got = sampled.getOrElse(st, 0L).toDouble
+      // 5-sigma binomial band: md5 fractions behave uniformly
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(got - n * rate) <= 5 * sigma + 1,
+        s"stratum $st: sampled $got of $n at target rate $rate")
+    }
+  }
+
+  test("q38 funnel timestamps are strictly ordered and stages consistent") {
+    val rows = Relational.q38(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[java.sql.Timestamp]("v_ts")
+      val c = r.getAs[java.sql.Timestamp]("c_ts")
+      val p = r.getAs[java.sql.Timestamp]("p_ts")
+      val stage = r.getAs[Int]("stage")
+      assert(v != null)
+      if (p != null) assert(c != null, "purchase stage requires click stage")
+      if (c != null) assert(c.after(v))
+      if (p != null) assert(p.after(c))
+      assert(stage == 1 + (if (c != null) 1 else 0) + (if (p != null) 1 else 0))
+    }
+  }
+
   test("q22 sessions are disjoint and ordered per user") {
     val df = Relational.q22(s, d).orderBy("user_id", "session_id").collect()
     df.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>

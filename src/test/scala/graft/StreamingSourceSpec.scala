@@ -48,6 +48,18 @@ class StreamingSourceSpec extends AnyFunSuite {
       "workload should contain deletes")
   }
 
+  test("g9 streaming top-k equals the batch top-k") {
+    import s.implicits._
+    val streamed = graft.streaming.StreamOps.g9(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = Tables.events(s, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy($"n_events".desc, $"user_id").limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.sorted.sameElements(batch.sorted))
+    assert(streamed.length == 10)
+  }
+
   test("txn log written as json files replays through the engine") {
     import s.implicits._
     val dir = Files.createTempDirectory("graft_txnlog_").toString

@@ -80,6 +80,53 @@ class TextDedupSpec extends AnyFunSuite {
       assert(id == g, s"singleton $id labeled $g") }
   }
 
+  test("d10 keeps the highest-quality member of every multi-member group") {
+    val quality = TextOps.t2(s, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val groups = Dedup.d6(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val picks = Dedup.d10(s, d).collect()
+    assert(picks.nonEmpty)
+    val multi = groups.filter(_._2.size >= 2)
+    assert(picks.length == multi.size, "one pick per multi-member group")
+    picks.foreach { r =>
+      val (g, keep, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val members = multi(g)
+      assert(members.contains(keep) && n == members.size)
+      val best = members.maxBy(id => (quality(id), -id))
+      assert(keep == best, s"group $g kept $keep, best is $best")
+    }
+  }
+
+  test("d11 components are consistent with d5 pairs and keep exactly one rep") {
+    val labels = Dedup.d11(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val rep = labels.map(l => l._1 -> l._2).toMap
+    val pairs = Dedup.d5(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across components") }
+    labels.groupBy(_._2).foreach { case (g, m) =>
+      assert(m.map(_._1).min == g, s"component $g rep is not its min id")
+      assert(m.count(_._3) == 1 && m.find(_._3).get._1 == g,
+        s"component $g must keep exactly its rep") }
+  }
+
+  test("t13 bigram counts agree with t1 token counts") {
+    val nTok = TextOps.t1(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = TextOps.t13(s, d).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (id, nbg, fl) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+      assert(nbg == math.max(0L, nTok(id) - 1))
+      assert(fl >= (if (nbg > 0) 1.0 else 0.0),
+        s"doc $id fluency $fl below the every-bigram-occurs-once floor")
+    }
+  }
+
   test("d4 simhash pairs equal the d2 candidate pairs on this corpus") {
     val d4p = Dedup.d4(s, d).select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d2p = Dedup.d2(s, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
