@@ -315,6 +315,15 @@ object Dedup {
     */
   def d5Of(emb: DataFrame, planes: Int): DataFrame = {
     import emb.sparkSession.implicits._
+    d5ScoredPairsOf(emb, planes).filter($"cos" >= CosineThreshold)
+  }
+
+  /** All bucket-gated scored pairs WITHOUT the cosine threshold — the
+    * Spark twin of [[d5ScoredPairsSql]], shared by [[d5Of]] and
+    * [[Similarity.s4]]'s kNN join.
+    */
+  private[operators] def d5ScoredPairsOf(emb: DataFrame, planes: Int): DataFrame = {
+    import emb.sparkSession.implicits._
     val e = d5BucketsOf(emb, planes)
     val cand = d5CandidatesOf(e, planes)
     val v = e.select($"vec_id", $"embedding")
@@ -322,7 +331,6 @@ object Dedup {
       .join(v.toDF("a_id", "a_emb"), "a_id")
       .join(v.toDF("b_id", "b_emb"), "b_id")
       .withColumn("cos", round(Vec.cosineFast($"a_emb", $"b_emb"), 6))
-      .filter($"cos" >= CosineThreshold)
       .select($"a_id", $"b_id", $"cos")
   }
 
@@ -341,38 +349,13 @@ object Dedup {
       .select($"a_id", $"b_id").distinct()
   }
 
-  val d5Sql: String = {
-    // the oracle is N-adaptive exactly like d5Planes: all MaxPlanes plane
-    // rows are emitted and the used prefix is selected by exact integer
-    // CASE thresholds (smallest p >= 6 with 2^p >= count)
-    val planeRows = Similarity.planeWeights(Similarity.MaxPlanes).zipWithIndex
-      .map { case (w, p) =>
-        s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
-      }.mkString(", ")
-    val caseArms = (6 until Similarity.MaxPlanes)
-      .map(p => s"WHEN c <= ${1L << p} THEN $p")
-      .mkString(" ")
-    val dot =
-      "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"
-    s"""
-    WITH np AS (
-      SELECT CASE $caseArms ELSE ${Similarity.MaxPlanes} END AS np
-      FROM (SELECT count(*) AS c FROM embeddings)),
-    planes(p, w) AS (VALUES $planeRows),
-    pl AS (SELECT planes.* FROM planes, np WHERE planes.p < np.np),
-    bkt AS (
-      SELECT e.vec_id,
-        CAST(sum(CASE WHEN $dot >= 0 THEN 1 << p.p ELSE 0 END) AS INTEGER) AS bucket
-      FROM embeddings e CROSS JOIN pl p GROUP BY e.vec_id),
-    v AS (
-      SELECT e.vec_id, e.embedding, b.bucket
-      FROM embeddings e JOIN bkt b USING (vec_id))
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) AS cos
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-      AND bit_count(xor(a.bucket, b.bucket)) <= 2
-    WHERE round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) >= $CosineThreshold"""
-  }
+  /** Thresholded near-dup pairs over the shared bucket-gated scored-pair
+    * generator ([[Similarity.d5ScoredPairsSql]] — lives in Similarity so
+    * the Dedup→Similarity object-init dependency stays one-directional).
+    */
+  val d5Sql: String =
+    s"""SELECT a_id, b_id, cos FROM (${Similarity.d5ScoredPairsSql}) sp
+    WHERE cos >= $CosineThreshold"""
 
   /** d6: dedup groups — connected components over the LSH near-dup pairs
     * (every doc labeled with the smallest doc_id reachable through

@@ -860,8 +860,60 @@ object Relational {
     FROM v LEFT JOIN c ON v.user_id = c.user_id
       LEFT JOIN p ON v.user_id = p.user_id"""
 
+  /** q39: sliding-window aggregate — 1-hour windows advancing every
+    * 15 minutes (each event lands in exactly 4 overlapping windows).
+    * Spark's `window(ts, dur, slide)` explodes the window memberships and
+    * aggregates — one shuffle on (window, type); the oracle replays the
+    * same epoch-aligned window arithmetic with an explicit 0..3 unnest.
+    * Value totals use the exact-decimal sum so the doubles hash-match.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        graft.Portable.dsum($"value", 2).as("total_value"))
+      .select($"window.start".as("w_start"), $"event_type",
+        $"n_events", $"total_value")
+  }
+
+  val q39Sql: String = s"""
+    WITH w AS (
+      SELECT make_timestamp(CAST((floor(epoch(ts) / 900) - t.k) * 900000000
+          AS BIGINT)) AS w_start,
+        event_type, value
+      FROM events CROSS JOIN range(0, 4) t(k))
+    SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      ${graft.Portable.dsumSql("value")} AS total_value
+    FROM w GROUP BY w_start, event_type"""
+
+  /** q40: skew-resistant fact-dim join through [[Skew.saltedJoin]] — the
+    * hot-key mitigation as a first-class gate query, not just a spec:
+    * lineitem joins part on a salted composite key (8 buckets seeded
+    * from l_orderkey), so a pathologically hot part key fans out over 8
+    * reducers; the result is identical to the plain join, which is
+    * exactly what the oracle runs.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey".as("partkey"), $"l_quantity")
+    val pt = Tables.part(s, dir).select($"p_partkey".as("partkey"), $"p_brand")
+    Skew.saltedJoin(li, pt, "partkey", "l_orderkey", 8)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        graft.Portable.dsum($"l_quantity", 2).as("total_qty"))
+  }
+
+  val q40Sql: String = s"""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      ${graft.Portable.dsumSql("l_quantity")} AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand"""
+
   val queries: Map[String, Q] = Map(
     "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
+    "q39_sliding_window" -> q39, "q40_skew_join" -> q40,
     "q32_avg_gated_anti" -> q32, "q33_moving_avg" -> q33,
     "q34_rank_buckets" -> q34,
     "q30_min_cost_supplier" -> q30, "q31_nested_exists" -> q31,
@@ -882,6 +934,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q36_kmv_distinct" -> q36Sql,
     "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
+    "q39_sliding_window" -> q39Sql, "q40_skew_join" -> q40Sql,
     "q32_avg_gated_anti" -> q32Sql, "q33_moving_avg" -> q33Sql,
     "q34_rank_buckets" -> q34Sql,
     "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,

@@ -387,10 +387,91 @@ object Similarity {
     SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK"""
   }
 
+  /** All d5-bucket-gated scored pairs (a_id < b_id, Hamming <= 2, exact
+    * cosine, NO cosine threshold) — the shared pair generator behind
+    * [[Dedup.d5Sql]]'s thresholded near-dups and [[s4Sql]]'s kNN-join
+    * oracle. Lives here (not in Dedup) so object initialization stays
+    * one-directional: Dedup's vals may touch Similarity, never the
+    * reverse.
+    */
+  private[operators] val d5ScoredPairsSql: String = {
+    // the oracle is N-adaptive exactly like Dedup.d5Planes: all MaxPlanes
+    // plane rows are emitted and the used prefix is selected by exact
+    // integer CASE thresholds (smallest p >= 6 with 2^p >= count)
+    val planeRows = planeWeights(MaxPlanes).zipWithIndex
+      .map { case (w, p) =>
+        s"($p, CAST([${w.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(", ")
+    val caseArms = (6 until MaxPlanes)
+      .map(p => s"WHEN c <= ${1L << p} THEN $p")
+      .mkString(" ")
+    val dot =
+      "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))"
+    s"""
+    WITH np AS (
+      SELECT CASE $caseArms ELSE $MaxPlanes END AS np
+      FROM (SELECT count(*) AS c FROM embeddings)),
+    planes(p, w) AS (VALUES $planeRows),
+    pl AS (SELECT planes.* FROM planes, np WHERE planes.p < np.np),
+    bkt AS (
+      SELECT e.vec_id,
+        CAST(sum(CASE WHEN $dot >= 0 THEN 1 << p.p ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e CROSS JOIN pl p GROUP BY e.vec_id),
+    v AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN bkt b USING (vec_id))
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      round(${VecSql.cosine("a.embedding", "b.embedding", 64)}, 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+      AND bit_count(xor(a.bucket, b.bucket)) <= 2"""
+  }
+
+  /** s4: kNN JOIN — unlike s1-s3 (bounded query set), EVERY corpus
+    * vector finds its best approximate neighbor: the d5 hyperplane
+    * buckets gate candidates (Hamming <= 2, <1% of all pairs), exact
+    * cosine scores them, and a per-vector rank keeps the top-1 (ties to
+    * the lowest id). Vectors whose buckets are singletons emit with a
+    * null neighbor. The all-pairs work never materializes — candidates
+    * are the bucket join's output, and the ranking window runs over
+    * candidates only — so the shape survives corpus-scale self-joins
+    * (retrieval-augmentation / clustering-init workloads).
+    */
+  def s4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.embeddings(s, dir)
+    val scored = Dedup
+      .d5ScoredPairsOf(e0, Dedup.d5Planes(e0.count()))
+      .localCheckpoint(true)
+    val sym = scored.union(
+      scored.select($"b_id", $"a_id", $"cos").toDF("a_id", "b_id", "cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a_id").orderBy($"cos".desc, $"b_id")
+    val best = sym.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"a_id".as("vec_id"), $"b_id".as("nn_id"), $"cos".as("nn_cos"))
+    e0.select($"vec_id").join(best, Seq("vec_id"), "left_outer")
+  }
+
+  val s4Sql: String = s"""
+    WITH cand AS ($d5ScoredPairsSql),
+    sym AS (
+      SELECT a_id AS vec_id, b_id AS nn_id, cos FROM cand
+      UNION ALL SELECT b_id, a_id, cos FROM cand),
+    best AS (
+      SELECT vec_id, nn_id, cos FROM (
+        SELECT vec_id, nn_id, cos,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, nn_id) AS rn
+        FROM sym) z
+      WHERE rn = 1)
+    SELECT e.vec_id, b.nn_id, b.cos AS nn_cos
+    FROM embeddings e LEFT JOIN best b ON e.vec_id = b.vec_id"""
+
   val queries: Map[String, Q] = Map(
-    "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3)
+    "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3,
+    "s4_knn_join" -> s4)
 
   val oracles: Map[String, String] = Map(
     "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql,
-    "s3_ivf_ann" -> s3Sql)
+    "s3_ivf_ann" -> s3Sql, "s4_knn_join" -> s4Sql)
 }

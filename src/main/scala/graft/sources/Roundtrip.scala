@@ -52,11 +52,64 @@ object Roundtrip {
 
   val h3Sql: String = "SELECT * FROM supplier"
 
+  /** h4: PARTITIONED parquet write + partition-pruned read as a gate
+    * query (previously spec-only): events land in one directory per
+    * event_type, and the re-read filters on the partition column — the
+    * scan lists only the matching directory (partition pruning, the
+    * mechanism that turns a 100 TB table into a 2 TB read when the
+    * predicate hits the layout).
+    */
+  def h4(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val out = tmp("graft_part_")
+    Tables.events(s, dir).write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_type", "value")
+  }
+
+  val h4Sql: String = """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_type = 'purchase'"""
+
+  /** h5: BUCKETED write + co-located sort-merge join as a gate query
+    * (previously spec-only): orders and lineitem are bucketed+sorted on
+    * the join key, so the SMJ reads both sides pre-partitioned and
+    * pre-sorted — no join-key exchange (the shape PlanSpec/ScaleSpec
+    * asserts); only the small post-join aggregate shuffles.
+    */
+  def h5(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = tmp("graft_h5_")
+    s.sql("DROP TABLE IF EXISTS h5_orders")
+    s.sql("DROP TABLE IF EXISTS h5_lineitem")
+    Tables.orders(s, dir).write.mode("overwrite")
+      .option("path", s"$wh/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("h5_orders")
+    Tables.lineitem(s, dir).write.mode("overwrite")
+      .option("path", s"$wh/l")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("h5_lineitem")
+    s.table("h5_lineitem").hint("merge")
+      .join(s.table("h5_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        graft.Portable.dsum(col("l_quantity"), 2).as("total_qty"))
+  }
+
+  val h5Sql: String = s"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+      ${graft.Portable.dsumSql("l_quantity")} AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
-    "h3_orc_roundtrip" -> h3)
+    "h3_orc_roundtrip" -> h3, "h4_partitioned_prune" -> h4,
+    "h5_bucketed_join" -> h5)
 
   val oracles: Map[String, String] = Map(
     "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
-    "h3_orc_roundtrip" -> h3Sql)
+    "h3_orc_roundtrip" -> h3Sql, "h4_partitioned_prune" -> h4Sql,
+    "h5_bucketed_join" -> h5Sql)
 }

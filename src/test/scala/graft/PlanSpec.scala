@@ -80,4 +80,49 @@ class PlanSpec extends AnyFunSuite {
       .filter(col("l_returnflag") === "R").count()
     assert(back.count() == full)
   }
+
+  test("h4 gate query scan carries the partition filter") {
+    val p = plan(sources.Roundtrip.h4(s, d))
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(600))
+  }
+
+  test("h5 gate query joins bucketed tables without a join-key shuffle") {
+    val p = plan(sources.Roundtrip.h5(s, d))
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed gate join should not shuffle join keys:\n" + p.take(1500))
+  }
+
+  test("q39 sliding windows place every event in exactly 4 windows") {
+    val total = Relational.q39(s, d).agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == 4 * sources.Tables.events(s, d).count())
+  }
+
+  test("q40 salted join equals the plain join aggregate") {
+    val salted = Relational.q40(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = sources.Tables.lineitem(s, d)
+      .join(sources.Tables.part(s, d),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        Portable.dsum(col("l_quantity"), 2).as("total_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("s4 covers the corpus and dominates every thresholded d5 pair") {
+    val nn = operators.Similarity.s4(s, d).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(nn.size == sources.Tables.embeddings(s, d).count())
+    val pairs = operators.Dedup.d5(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(nn(a) >= c && nn(b) >= c,
+        s"best-neighbor cos must dominate pair ($a,$b,$c)")
+    }
+  }
 }
