@@ -93,6 +93,37 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // round-7 additions timed the same way (min-of-reps, noop sink) but
+    // reported SEPARATELY so "total" stays the same 16-headliner series
+    // that earlier rounds established
+    val extraNames = Seq("q39_sliding_window", "q40_skew_join",
+      "t14_quality_gate", "d10_canonical_pick", "d11_semantic_dedup",
+      "s4_knn_join", "h5_bucketed_join")
+    if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"warmup failed for $name: $e")
+        }
+      }
+    }
+    val extraResults = extraNames.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        }
+        val ok = times.filter(_ >= 0)
+        name -> (if (ok.nonEmpty) ok.min else -1.0)
+      }
+    }
+    val extras = extraResults.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
+      .mkString("{", ",", "}")
+
     // ANN quality: recall vs the exact s1 baseline + exact-scored
     // candidate counts (the cost knob), so speed never hides a broken
     // index
@@ -139,7 +170,7 @@ object Bench {
         f""""d2_sec":$t2%.3f,"d2_frac":${frac(c2, nd)}%.5f,""" +
         f""""d5_sec":$t5%.3f,"d5_frac":${frac(c5, nv)}%.5f}"""
     } else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ann":$ann$probes,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extras":$extras,"ann":$ann$probes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

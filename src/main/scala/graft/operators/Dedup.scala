@@ -407,20 +407,23 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"group_id").as("n_group"))
+      // `old` rides along so convergence needs no extra join below
       val prop = labels.join(viaEdges, Seq("doc_id"), "left_outer")
-        .select($"doc_id",
+        .select($"doc_id", $"group_id".as("old"),
           least(coalesce($"n_group", $"group_id"), $"group_id").as("group_id"))
-        .localCheckpoint(true)
       // pointer doubling: every label is itself a doc_id, so jump to the
-      // label's label (always <= the label) — halves remaining chain depth
+      // label's label (always <= the label) — halves remaining chain
+      // depth. ONE checkpoint per round: prop is recomputed once inside
+      // the self-join (a cheap edge-join) instead of paying a second
+      // eager-checkpoint barrier, and the convergence probe runs on the
+      // already-materialized result
       val next = prop.join(
           prop.select($"doc_id".as("group_id"), $"group_id".as("gg")),
           Seq("group_id"), "left_outer")
-        .select($"doc_id", coalesce($"gg", $"group_id").as("group_id"))
+        .select($"doc_id", $"old", coalesce($"gg", $"group_id").as("group_id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
-        .filter($"group_id" =!= $"old").isEmpty
-      labels = next
+      converged = next.filter($"group_id" =!= $"old").isEmpty
+      labels = next.select($"doc_id", $"group_id")
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -379,15 +379,61 @@ object TextOps {
       round(COALESCE(pd.freq_sum * 1.0 / pd.n_bigrams, 0.0), 6) AS fluency
     FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
 
+  /** Thresholds for [[t14]]'s composite keep/drop gate — set so each
+    * rule actually fires on the synthetic corpus (rep/fluency tails are
+    * narrow there; rare_frac ~0 so that rule is a guard for genuinely
+    * noisy corpora).
+    */
+  val GateMinQuality = 0.35
+  val GateMaxRep = 0.015
+  val GateMaxRareFrac = 0.3
+  val GateMinFluency = 28.5
+
+  /** t14: the composite QUALITY GATE — the actual keep/drop decision an
+    * LLM data pipeline runs after scoring: a doc survives iff its t2
+    * quality, t10 repetition, t12 rare-word fraction and t13 bigram
+    * fluency all clear their thresholds. Each signal is an
+    * already-hash-matched linear operator; the gate is three joins on
+    * doc_id (co-partitioned after the first shuffle) emitting the
+    * signals + per-rule flags + the final keep.
+    */
+  def t14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t2(s, dir).select($"doc_id", $"quality")
+      .join(t10(s, dir).select($"doc_id", $"rep_ratio"), "doc_id")
+      .join(t12(s, dir).select($"doc_id", $"rare_frac"), "doc_id")
+      .join(t13(s, dir).select($"doc_id", $"fluency"), "doc_id")
+      .select($"doc_id", $"quality", $"rep_ratio", $"rare_frac", $"fluency",
+        ($"quality" >= GateMinQuality).as("ok_quality"),
+        ($"rep_ratio" <= GateMaxRep).as("ok_rep"),
+        ($"rare_frac" <= GateMaxRareFrac).as("ok_rare"),
+        ($"fluency" >= GateMinFluency).as("ok_fluency"))
+      .withColumn("keep",
+        $"ok_quality" && $"ok_rep" && $"ok_rare" && $"ok_fluency")
+  }
+
+  val t14Sql: String = s"""
+    WITH q2 AS ($t2Sql), q10 AS ($t10Sql), q12 AS ($t12Sql), q13 AS ($t13Sql)
+    SELECT q2.doc_id, q2.quality, q10.rep_ratio, q12.rare_frac, q13.fluency,
+      q2.quality >= $GateMinQuality AS ok_quality,
+      q10.rep_ratio <= $GateMaxRep AS ok_rep,
+      q12.rare_frac <= $GateMaxRareFrac AS ok_rare,
+      q13.fluency >= $GateMinFluency AS ok_fluency,
+      (q2.quality >= $GateMinQuality AND q10.rep_ratio <= $GateMaxRep
+        AND q12.rare_frac <= $GateMaxRareFrac
+        AND q13.fluency >= $GateMinFluency) AS keep
+    FROM q2 JOIN q10 USING (doc_id) JOIN q12 USING (doc_id)
+      JOIN q13 USING (doc_id)"""
+
   val queries: Map[String, Q] = Map(
-    "t13_bigram_fluency" -> t13,
+    "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
     "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
     "t10_repetition" -> t10, "t11_pii_scrub" -> t11, "t12_rare_words" -> t12)
 
   val oracles: Map[String, String] = Map(
-    "t13_bigram_fluency" -> t13Sql,
+    "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,

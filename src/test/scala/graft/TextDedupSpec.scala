@@ -127,6 +127,17 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("t14 keep is exactly the conjunction of the rule flags") {
+    val rows = TextOps.t14(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7) && r.getBoolean(8)
+      assert(r.getBoolean(9) == expect)
+    }
+    assert(rows.exists(_.getBoolean(9)), "gate should keep some docs")
+  }
+
   test("d4 simhash pairs equal the d2 candidate pairs on this corpus") {
     val d4p = Dedup.d4(s, d).select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d2p = Dedup.d2(s, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
