@@ -46,7 +46,7 @@ object Dedup {
     bandRowsOf(Tables.documents(s, dir))
 
   /** [[bandRows]] over any (doc_id, text) DataFrame. */
-  private def bandRowsOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandRowsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sigs = docs
       .withColumn("toks", Text.tokens($"text"))

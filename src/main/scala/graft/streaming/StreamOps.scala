@@ -325,15 +325,69 @@ object StreamOps {
     FROM events GROUP BY user_id
     ORDER BY n_events DESC, user_id LIMIT 10"""
 
+  /** g10: STREAMING ingest dedup — the continuous form of batch d9 and
+    * the steady-state 100 TB dedup deployment: the existing corpus's
+    * MinHash band index and shingle sets are the persisted static side;
+    * arriving document micro-batches flow through a foreachBatch sink
+    * that band-joins the index, exact-Jaccard verifies, and appends each
+    * new doc's best existing match. Per-batch cost ~ batch × band
+    * occupancy — the corpus is never re-paired — and because batches are
+    * independent, the union over all micro-batches equals the batch d9
+    * result, which is exactly what the oracle checks.
+    */
+  def g10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter($"doc_id" < Dedup.IncrSplit)
+    val fresh = docs.filter($"doc_id" >= Dedup.IncrSplit)
+    // the persisted index: band rows + shingle sets of the existing corpus
+    val corpusBands = Dedup.bandRowsOf(corpus).toDF("a_id", "bi", "bh")
+      .localCheckpoint(true)
+    val corpusSh = corpus.withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id".as("a_id"),
+        array_distinct(Text.shingles($"toks")).as("a_sh"))
+      .localCheckpoint(true)
+    val out = java.nio.file.Files.createTempDirectory("graft_g10_").toString
+    StreamRunner.runForeachFiles(s,
+        Seq(fresh.filter($"doc_id" % 2 === 0),
+          fresh.filter($"doc_id" % 2 === 1))) { (batch, _) =>
+      val bb = Dedup.bandRowsOf(batch).toDF("b_id", "bi", "bh")
+      val cand = corpusBands.join(bb, Seq("bi", "bh"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val bsh = batch.withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id").as("b_id"),
+          array_distinct(Text.shingles(col("toks"))).as("b_sh"))
+      val scored = cand.join(corpusSh, "a_id").join(bsh, "b_id")
+        .select(col("b_id").as("doc_id"), col("a_id").as("dup_of"),
+          round(size(array_intersect(col("a_sh"), col("b_sh"))) * lit(1.0) /
+            size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= Dedup.IncrJaccard)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("jaccard").desc, col("dup_of"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .write.mode("append").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  /** Same result set as batch d9 — micro-batches partition the arriving
+    * docs and each doc's match depends only on the static index.
+    */
+  val g10Sql: String = graft.operators.Dedup.d9Sql
+
   val queries: Map[String, Q] = Map(
-    "g9_stream_topk" -> g9,
+    "g9_stream_topk" -> g9, "g10_stream_ingest_dedup" -> g10,
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
     "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4,
     "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6,
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
-    "g9_stream_topk" -> g9Sql,
+    "g9_stream_topk" -> g9Sql, "g10_stream_ingest_dedup" -> g10Sql,
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
     "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql,
     "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql,

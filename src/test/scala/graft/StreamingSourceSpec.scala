@@ -60,6 +60,15 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(streamed.length == 10)
   }
 
+  test("g10 streaming ingest dedup equals batch d9") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = rows(graft.streaming.StreamOps.g10(s, d))
+    val batch = rows(graft.operators.Dedup.d9(s, d))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("txn log written as json files replays through the engine") {
     import s.implicits._
     val dir = Files.createTempDirectory("graft_txnlog_").toString
