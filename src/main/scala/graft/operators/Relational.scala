@@ -911,9 +911,68 @@ object Relational {
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand"""
 
+  /** Bucket count for [[q41]]'s histogram sketch. */
+  val HistBuckets = 256
+
+  /** q41: deterministic histogram quantiles — the gate-verifiable
+    * companion to [[q27]]'s t-digest-style sketch (same pairing as
+    * q36↔q23): order totals land in [[HistBuckets]] fixed-width buckets
+    * (one scan after a min/max scan), and the p50/p90 estimates are the
+    * lower edges of the first buckets whose cumulative count crosses the
+    * rank — integer-exact threshold tests (2·cum ≥ n, 10·cum ≥ 9·n), so
+    * the whole sketch replays bit-for-bit in DuckDB while behaving like
+    * the bounded-memory histogram a 100 TB quantile pass would stream.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val mm = o.agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+    val b = least(lit(HistBuckets - 1),
+      floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / HistBuckets)))
+      .cast("int")
+    val hist = o.crossJoin(broadcast(mm))
+      .groupBy($"o_orderstatus", b.as("bkt"), $"lo", $"hi")
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderstatus").orderBy($"bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"o_orderstatus")))
+    def edge(cond: Column) = min(when(cond,
+      $"lo" + $"bkt" * (($"hi" - $"lo") / HistBuckets)))
+    cum.groupBy($"o_orderstatus")
+      .agg(round(edge($"cum" * 2 >= $"n"), 4).as("p50_est"),
+        round(edge($"cum" * 10 >= $"n" * 9), 4).as("p90_est"))
+  }
+
+  val q41Sql: String = s"""
+    WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders),
+    hist AS (
+      SELECT o_orderstatus,
+        CAST(least($HistBuckets - 1,
+          floor((o_totalprice - lo) / ((hi - lo) / $HistBuckets))) AS INT) AS bkt,
+        lo, hi, count(*) AS c
+      FROM orders CROSS JOIN mm
+      GROUP BY ALL),
+    cum AS (
+      SELECT o_orderstatus, bkt, lo, hi, c,
+        sum(c) OVER (PARTITION BY o_orderstatus ORDER BY bkt
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(c) OVER (PARTITION BY o_orderstatus) AS n
+      FROM hist)
+    SELECT o_orderstatus,
+      round(min(CASE WHEN cum * 2 >= n
+        THEN lo + bkt * ((hi - lo) / $HistBuckets) END), 4) AS p50_est,
+      round(min(CASE WHEN cum * 10 >= n * 9
+        THEN lo + bkt * ((hi - lo) / $HistBuckets) END), 4) AS p90_est
+    FROM cum GROUP BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
     "q39_sliding_window" -> q39, "q40_skew_join" -> q40,
+    "q41_histogram_quantile" -> q41,
     "q32_avg_gated_anti" -> q32, "q33_moving_avg" -> q33,
     "q34_rank_buckets" -> q34,
     "q30_min_cost_supplier" -> q30, "q31_nested_exists" -> q31,
@@ -935,6 +994,7 @@ object Relational {
     "q36_kmv_distinct" -> q36Sql,
     "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
     "q39_sliding_window" -> q39Sql, "q40_skew_join" -> q40Sql,
+    "q41_histogram_quantile" -> q41Sql,
     "q32_avg_gated_anti" -> q32Sql, "q33_moving_avg" -> q33Sql,
     "q34_rank_buckets" -> q34Sql,
     "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,

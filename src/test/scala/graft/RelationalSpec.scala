@@ -89,6 +89,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 histogram quantiles land within two buckets of exact") {
+    val o = sources.Tables.orders(s, d)
+    val mm = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val width = (mm.getDouble(1) - mm.getDouble(0)) / Relational.HistBuckets
+    val exact = o.groupBy(col("o_orderstatus")).agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Relational.q41(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e50, e90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - e50) <= 2 * width + 1e-6,
+        s"${r.getString(0)} p50 est ${r.getDouble(1)} vs exact $e50")
+      assert(math.abs(r.getDouble(2) - e90) <= 2 * width + 1e-6,
+        s"${r.getString(0)} p90 est ${r.getDouble(2)} vs exact $e90")
+    }
+  }
+
   test("q22 sessions are disjoint and ordered per user") {
     val df = Relational.q22(s, d).orderBy("user_id", "session_id").collect()
     df.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
