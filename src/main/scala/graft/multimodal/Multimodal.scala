@@ -198,13 +198,38 @@ object Multimodal {
       CAST(max(code) AS BIGINT) AS peak
     FROM c GROUP BY doc_id, frame_idx"""
 
+  /** m7: paired-sample manifest — the record a webdataset-style writer
+    * emits when assembling a PAIRED multimodal training set: each doc
+    * that has an embedding row (doc_id = vec_id) yields one manifest
+    * line with the blob's typed metadata (length, digest) and the
+    * embedding norm. One broadcast-able equi-join; unpaired docs drop
+    * out exactly as the assembler would drop them.
+    */
+  def m7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id".as("doc_id"), $"embedding")
+    mediaTable(s, dir).join(emb, "doc_id")
+      .select($"doc_id",
+        length($"blob").cast("long").as("byte_len"),
+        md5($"blob").as("blob_md5"),
+        round(graft.functions.Vec.norm($"embedding"), 6).as("emb_norm"))
+  }
+
+  val m7Sql: String = s"""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+      md5(text) AS blob_md5,
+      round(${graft.functions.VecSql.norm("embedding", 64)}, 6) AS emb_norm
+    FROM documents JOIN embeddings ON doc_id = vec_id"""
+
   val queries: Map[String, Q] = Map(
     "m1_binary_meta" -> m1, "m2_frame_sample" -> m2, "m3_feature_stub" -> m3,
     "m4_modality_router" -> m4, "m5_resize_stub" -> m5,
-    "m6_audio_energy_stub" -> m6)
+    "m6_audio_energy_stub" -> m6, "m7_paired_manifest" -> m7)
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql, "m2_frame_sample" -> m2Sql,
     "m3_feature_stub" -> m3Sql, "m4_modality_router" -> m4Sql,
-    "m5_resize_stub" -> m5Sql, "m6_audio_energy_stub" -> m6Sql)
+    "m5_resize_stub" -> m5Sql, "m6_audio_energy_stub" -> m6Sql,
+    "m7_paired_manifest" -> m7Sql)
 }

@@ -425,8 +425,47 @@ object TextOps {
     FROM q2 JOIN q10 USING (doc_id) JOIN q12 USING (doc_id)
       JOIN q13 USING (doc_id)"""
 
+  /** Token capacity of one packed training sequence for [[t15]]. */
+  val PackBin = 512L
+
+  /** t15: sequence packing — the batch-assembly step before pretraining:
+    * documents are concatenated in deterministic order and cut into
+    * fixed-capacity token bins; each doc reports the bin it starts in
+    * and its token offset inside that bin (GPT-style contiguous packing,
+    * where a bin may straddle documents). Packing is per-`lang` shard —
+    * the window partitions on the shard key, so no global sort: at
+    * 100 TB the cumulative sum runs independently per shard exactly as a
+    * sharded packer would.
+    */
+  def t15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(Text.tokens($"text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / lit(PackBin.toDouble)).cast("long").as("bin"),
+        (($"cum" - $"n_tokens") % PackBin).as("bin_offset"))
+  }
+
+  val t15Sql: String = s"""
+    WITH t AS (SELECT doc_id, lang,
+        CAST(len(${TextSql.toks}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, lang, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+      CAST((cum - n_tokens) // $PackBin AS BIGINT) AS bin,
+      CAST((cum - n_tokens) % $PackBin AS BIGINT) AS bin_offset
+    FROM c"""
+
   val queries: Map[String, Q] = Map(
     "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
+    "t15_sequence_packing" -> t15,
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
     "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
@@ -434,6 +473,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
+    "t15_sequence_packing" -> t15Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,

@@ -138,6 +138,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(9)), "gate should keep some docs")
   }
 
+  test("t15 packing is gapless per shard with offsets from the running sum") {
+    val rows = TextOps.t15(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      var cum = 0L
+      shard.sortBy(_._1).foreach { case (id, _, n, bin, off) =>
+        assert(bin == cum / TextOps.PackBin, s"doc $id bin")
+        assert(off == cum % TextOps.PackBin, s"doc $id offset")
+        cum += n
+      }
+    }
+  }
+
+  test("m7 manifest pairs every doc that has an embedding, once") {
+    val docs = sources.Tables.documents(s, d).select("doc_id")
+    val embs = sources.Tables.embeddings(s, d)
+      .selectExpr("vec_id AS doc_id")
+    val expected = docs.join(embs, "doc_id").count()
+    val m = Multimodal.queries("m7_paired_manifest")(s, d)
+    assert(m.count() == expected && expected > 0)
+    assert(m.filter(col("emb_norm") <= 0).count() == 0)
+  }
+
   test("d4 simhash pairs equal the d2 candidate pairs on this corpus") {
     val d4p = Dedup.d4(s, d).select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val d2p = Dedup.d2(s, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
