@@ -24,11 +24,22 @@ object TextOps {
     SELECT doc_id, CAST(len(${TextSql.toks}) AS BIGINT) AS n_tokens
     FROM documents"""
 
+  /** documents + portable tokens — the ONE corpus scan the whole signal
+    * family (t2/t10/t12/t13) derives from; [[t14]] checkpoints it so the
+    * composite gate tokenizes the corpus once instead of four times.
+    */
+  private def withToks(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("toks", Text.tokens($"text"))
+  }
+
   /** t2: length/punctuation/stopword quality heuristic. */
-  def t2(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .withColumn("toks", Text.tokens($"text"))
+  def t2(s: SparkSession, dir: String): DataFrame =
+    t2Of(withToks(Tables.documents(s, dir)))
+
+  /** [[t2]] over a pre-tokenized (doc_id, text, toks) base. */
+  private def t2Of(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val nTok = size($"toks")
     val punct = length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))
     val punctRatio = when(length($"text") > 0,
@@ -234,10 +245,13 @@ object TextOps {
     * single IEEE division of two exact ints — bitwise identical across
     * engines, no rounding needed.
     */
-  def t10(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", Text.tokens($"text"))
+  def t10(s: SparkSession, dir: String): DataFrame =
+    t10Of(withToks(Tables.documents(s, dir)))
+
+  /** [[t10]] over a pre-tokenized base. */
+  private def t10Of(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("sh", Text.shingles($"toks"))
       .select($"doc_id",
         size($"sh").cast("long").as("n_shingles"),
@@ -310,10 +324,14 @@ object TextOps {
     * frequency table is vocabulary-sized, and every count is integer so
     * the single rounded division hash-matches DuckDB exactly.
     */
-  def t12(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", explode(Text.tokens($"text")).as("w"))
+  def t12(s: SparkSession, dir: String): DataFrame =
+    t12Of(withToks(Tables.documents(s, dir)))
+
+  /** [[t12]] over a pre-tokenized base. */
+  private def t12Of(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select($"doc_id", explode($"toks").as("w"))
       .localCheckpoint(false)
     val freq = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
     toks.join(freq, "w")
@@ -342,22 +360,24 @@ object TextOps {
     * integer until the final rounded division. Docs with < 2 tokens
     * score 0 with n_bigrams = 0.
     */
-  def t13(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .withColumn("toks", Text.tokens($"text"))
+  def t13(s: SparkSession, dir: String): DataFrame =
+    t13Of(withToks(Tables.documents(s, dir)))
+
+  /** [[t13]] over a pre-tokenized base. */
+  private def t13Of(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val bgArr = when(size($"toks") >= 2,
       transform(sequence(lit(1), size($"toks") - 1),
         i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
       .otherwise(array().cast("array<string>"))
-    val bg = toks.select($"doc_id", explode(bgArr).as("bg"))
+    val bg = docs.select($"doc_id", explode(bgArr).as("bg"))
       .localCheckpoint(false)
     val freq = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
     val perDoc = bg.join(freq, "bg")
       .groupBy($"doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum($"cnt").cast("long").as("freq_sum"))
-    Tables.documents(s, dir).select($"doc_id")
+    docs.select($"doc_id")
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select($"doc_id",
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
@@ -399,10 +419,15 @@ object TextOps {
     */
   def t14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t2(s, dir).select($"doc_id", $"quality")
-      .join(t10(s, dir).select($"doc_id", $"rep_ratio"), "doc_id")
-      .join(t12(s, dir).select($"doc_id", $"rare_frac"), "doc_id")
-      .join(t13(s, dir).select($"doc_id", $"fluency"), "doc_id")
+    // ONE tokenize scan feeds all four signals (lazy checkpoint — the
+    // corpus is read and tokenized once, not once per rule)
+    val base = withToks(Tables.documents(s, dir))
+      .select($"doc_id", $"text", $"toks")
+      .localCheckpoint(false)
+    t2Of(base).select($"doc_id", $"quality")
+      .join(t10Of(base).select($"doc_id", $"rep_ratio"), "doc_id")
+      .join(t12Of(base).select($"doc_id", $"rare_frac"), "doc_id")
+      .join(t13Of(base).select($"doc_id", $"fluency"), "doc_id")
       .select($"doc_id", $"quality", $"rep_ratio", $"rare_frac", $"fluency",
         ($"quality" >= GateMinQuality).as("ok_quality"),
         ($"rep_ratio" <= GateMaxRep).as("ok_rep"),
