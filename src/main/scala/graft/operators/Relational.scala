@@ -969,10 +969,44 @@ object Relational {
         THEN lo + bkt * ((hi - lo) / $HistBuckets) END), 4) AS p90_est
     FROM cum GROUP BY o_orderstatus"""
 
+  /** q42: cohort retention — users bucketed by the week of their first
+    * event; each (cohort_week, week_offset) cell counts how many of that
+    * cohort were active that many weeks later (the classic retention
+    * triangle). Weeks are Monday-aligned `date_trunc` in both engines and
+    * the offset is exact integer arithmetic on epoch seconds. Two
+    * aggregates + one join, all keyed on user_id then on the (tiny)
+    * cohort grid.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .select($"user_id", $"cohort_week",
+        floor(($"wk".cast("long") - $"cohort_week".cast("long")) / 604800.0)
+          .cast("long").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").cast("long").as("n_active"))
+  }
+
+  val q42Sql: String = """
+    WITH e AS (SELECT user_id,
+        CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, wk FROM e)
+    SELECT f.cohort_week,
+      CAST((CAST(epoch(a.wk) AS BIGINT) - CAST(epoch(f.cohort_week) AS BIGINT))
+        // 604800 AS BIGINT) AS week_offset,
+      CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
     "q39_sliding_window" -> q39, "q40_skew_join" -> q40,
-    "q41_histogram_quantile" -> q41,
+    "q41_histogram_quantile" -> q41, "q42_cohort_retention" -> q42,
     "q32_avg_gated_anti" -> q32, "q33_moving_avg" -> q33,
     "q34_rank_buckets" -> q34,
     "q30_min_cost_supplier" -> q30, "q31_nested_exists" -> q31,
@@ -994,7 +1028,7 @@ object Relational {
     "q36_kmv_distinct" -> q36Sql,
     "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
     "q39_sliding_window" -> q39Sql, "q40_skew_join" -> q40Sql,
-    "q41_histogram_quantile" -> q41Sql,
+    "q41_histogram_quantile" -> q41Sql, "q42_cohort_retention" -> q42Sql,
     "q32_avg_gated_anti" -> q32Sql, "q33_moving_avg" -> q33Sql,
     "q34_rank_buckets" -> q34Sql,
     "q30_min_cost_supplier" -> q30Sql, "q31_nested_exists" -> q31Sql,

@@ -260,7 +260,12 @@ object Similarity {
     * conditions; the plane count is N-adaptive exactly like d5's oracle
     * (integer CASE thresholds over all [[MaxPlanes]] emitted plane rows).
     */
-  val s2Sql: String = {
+  /** The WITH-prefix shared by [[s2Sql]] and [[s5Sql]]: plane tables,
+    * N-adaptive plane count, per-table buckets, and the `scored` CTE of
+    * exact cosines over the deterministic Hamming<=3 multi-probe
+    * candidate set.
+    */
+  private val s2ScoredSql: String = {
     val caseArms = (6 until MaxPlanes)
       .map(p => s"WHEN c <= ${4L << p} THEN $p")
       .mkString(" ")
@@ -300,14 +305,36 @@ object Similarity {
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         round(${VecSql.cosine("q.embedding", "c.embedding", 64)}, 6) AS cos
       FROM v q JOIN v c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
-        AND ($anyTable)),
+        AND ($anyTable))"""
+  }
+
+  val s2Sql: String = s"""$s2ScoredSql,
     ranked AS (
       SELECT query_id, neighbor_id, cos,
         CAST(row_number() OVER (PARTITION BY query_id
           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
       FROM scored)
     SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK"""
+
+  /** Cosine radius for [[s5]] — random 64-dim vectors concentrate near
+    * cos 0, so 0.3 is a strong-signal neighborhood on this corpus
+    * (per-query top-1 cosines run ~0.25-0.4).
+    */
+  val RadiusTau = 0.3
+
+  /** s5: RADIUS search — the vector-store companion to top-k: every
+    * candidate within cosine >= [[RadiusTau]] of a query, however many
+    * or few there are. Same deterministic multi-probe candidate set as
+    * [[s2]] (so the same full hash gate), one filter instead of a rank:
+    * radius results need no window at all.
+    */
+  def s5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s2Scored(s, dir).filter($"cos" >= RadiusTau)
   }
+
+  val s5Sql: String = s"""$s2ScoredSql
+    SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= $RadiusTau"""
 
   /** s3's full oracle: the ENTIRE IVF build is deterministic — seed
     * centroids are the k lowest vec_ids, Lloyd means are exact fixed-point
@@ -469,9 +496,10 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3,
-    "s4_knn_join" -> s4)
+    "s4_knn_join" -> s4, "s5_radius_search" -> s5)
 
   val oracles: Map[String, String] = Map(
     "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql,
-    "s3_ivf_ann" -> s3Sql, "s4_knn_join" -> s4Sql)
+    "s3_ivf_ann" -> s3Sql, "s4_knn_join" -> s4Sql,
+    "s5_radius_search" -> s5Sql)
 }

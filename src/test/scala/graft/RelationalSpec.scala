@@ -108,6 +108,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q42 week-0 cells equal cohort sizes and offsets are nonnegative") {
+    val r = Relational.q42(s, d).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(1) >= 0))
+    val cohorts = sources.Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      .groupBy(col("cw")).count().collect()
+      .map(x => x.getTimestamp(0) -> x.getLong(1)).toMap
+    r.filter(_.getLong(1) == 0).foreach { row =>
+      assert(row.getLong(2) == cohorts(row.getTimestamp(0)),
+        s"cohort ${row.getTimestamp(0)} week-0 count")
+    }
+  }
+
   test("q22 sessions are disjoint and ordered per user") {
     val df = Relational.q22(s, d).orderBy("user_id", "session_id").collect()
     df.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>

@@ -190,6 +190,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("s5 radius hits are true hits and complete enough vs brute force") {
+    import graft.functions.Vec
+    val e = sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .toDF("query_id", "q_emb")
+    val truth = q.crossJoin(e.toDF("neighbor_id", "n_emb"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(Vec.cosineFast(col("q_emb"), col("n_emb")), 6))
+      .filter(col("cos") >= Similarity.RadiusTau)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.s5(s, d).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "radius results must be true radius hits")
+    if (truth.nonEmpty)
+      assert((truth & got).size.toDouble / truth.size >= 0.6,
+        s"radius recall ${(truth & got).size}/${truth.size}")
+  }
+
   test("m3 stub features are deterministic and in [0,1]") {
     val a = Multimodal.m3(s, d).collect().sortBy(_.getLong(0))
     val b = Multimodal.m3(s, d).collect().sortBy(_.getLong(0))
