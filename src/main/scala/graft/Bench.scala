@@ -97,9 +97,10 @@ object Bench {
     // reported SEPARATELY so "total" stays the same 16-headliner series
     // that earlier rounds established
     val extraNames = Seq("q39_sliding_window", "q40_skew_join",
-      "q41_histogram_quantile", "t14_quality_gate", "t15_sequence_packing",
-      "d10_canonical_pick", "d11_semantic_dedup", "s4_knn_join",
-      "m7_paired_manifest", "h5_bucketed_join", "g10_stream_ingest_dedup")
+      "q41_histogram_quantile", "q42_cohort_retention", "t14_quality_gate",
+      "t15_sequence_packing", "d10_canonical_pick", "d11_semantic_dedup",
+      "s4_knn_join", "s5_radius_search", "m7_paired_manifest",
+      "h5_bucketed_join", "g10_stream_ingest_dedup")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
