@@ -83,7 +83,14 @@ object Bench {
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
+          } catch {
+            // NonFatal only, and loudly: a broken query must leave a
+            // diagnostic, and OOM/VM errors must propagate, not become a
+            // silent -1 entry
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"bench failed for $name: $e")
+              -1.0
+          }
         }
         val ok = times.filter(_ >= 0)
         name -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -100,7 +107,8 @@ object Bench {
       "q41_histogram_quantile", "q42_cohort_retention", "t14_quality_gate",
       "t15_sequence_packing", "d10_canonical_pick", "d11_semantic_dedup",
       "s4_knn_join", "s5_radius_search", "m7_paired_manifest",
-      "h5_bucketed_join", "g10_stream_ingest_dedup")
+      "h5_bucketed_join", "g10_stream_ingest_dedup", "a8_txn_multikey",
+      "d12_dedup_rewrite", "t16_bpe_merges", "t17_epoch_shuffle")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -117,7 +125,11 @@ object Bench {
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"bench failed for $name: $e")
+              -1.0
+          }
         }
         val ok = times.filter(_ >= 0)
         name -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -125,6 +137,35 @@ object Bench {
     }
     val extras = extraResults.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
+
+    // multi-key txn engine cost shape, tracked per round: the gate
+    // workload's phase/scheduler counts (each apply phase is one global
+    // barrier — the engine's scale-limiting dimension) plus a synthetic
+    // single-hot-key conflict chain, whose per-phase wall time is the
+    // barrier overhead a pathological micro-batch would pay
+    val txnStats = {
+      import spark.implicits._
+      val wl = operators.TxnQueries.multiKeyWorkloadDS(spark, sfDir)
+      val empty = Seq.empty[(String, String)].toDF("key", "value")
+      val (st8, _, s8) = streaming.TxnEngine.applyMultiKeyStats(empty, wl)
+      st8.write.format("noop").mode("overwrite").save()
+      val depth = 64
+      val chain = (1 to depth).map { i =>
+        streaming.TxnEngine.Txn(i.toLong,
+          Seq(streaming.TxnEngine.KeyValueOption("hot",
+            if (i == 1) None else Some((i - 1).toString))),
+          Seq(streaming.TxnEngine.KeyValueOption("hot", Some(i.toString)),
+            streaming.TxnEngine.KeyValueOption(s"k${i % 7}", Some(i.toString))))
+      }.toDS()
+      val t0 = System.nanoTime()
+      val (stC, _, sC) = streaming.TxnEngine.applyMultiKeyStats(empty, chain)
+      stC.write.format("noop").mode("overwrite").save()
+      val chainSec = (System.nanoTime() - t0) / 1e9
+      f""""a8_phases":${s8.applyPhases},"a8_sched_passes":${s8.schedulerPasses},""" +
+        f""""chain_depth":$depth,"chain_phases":${sC.applyPhases},""" +
+        f""""chain_sec":$chainSec%.3f,""" +
+        f""""chain_phase_ms":${chainSec * 1000 / math.max(1, sC.applyPhases)}%.1f"""
+    }
 
     // ANN quality: recall vs the exact s1 baseline + exact-scored
     // candidate counts (the cost knob), so speed never hides a broken
@@ -172,7 +213,7 @@ object Bench {
         f""""d2_sec":$t2%.3f,"d2_frac":${frac(c2, nd)}%.5f,""" +
         f""""d5_sec":$t5%.3f,"d5_frac":${frac(c5, nv)}%.5f}"""
     } else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extras":$extras,"ann":$ann$probes,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extras":$extras,"txn":{$txnStats},"ann":$ann$probes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -432,17 +432,54 @@ object Dedup {
     labels
   }
 
-  val d6Sql: String = s"""
-    WITH RECURSIVE cand AS (${d2Sql}),
-    edges AS (
+  /** Unroll depth for the components oracles: relax+double reaches
+    * diameter 2^k in k rounds, so 8 covers diameter 256 — far beyond any
+    * near-dup cluster the planted corpora (or a real one) produce. The
+    * Spark side converges-or-throws at 25 doubling rounds; an unconverged
+    * oracle shows up as a hash mismatch, never a silent pass.
+    */
+  val CompOracleRounds = 8
+
+  /** The [[componentsOf]] algorithm as oracle SQL — `cand` (a_id, b_id)
+    * must be in scope; yields CTE `comp` = (id, lab) over the
+    * edge-induced vertex set. Each round is one min-relaxation over the
+    * edges plus one pointer-doubling self-join, unrolled
+    * [[CompOracleRounds]] times (the s3 Lloyd-unroll pattern): working
+    * state is ONE ROW PER VERTEX per round — linear in edges — where the
+    * previous recursive-CTE `reach` oracle materialized every
+    * (vertex, reachable-label) pair, O(Σ component²) rows. A keyed
+    * recursive iteration would express this directly, but needs
+    * DuckDB ≥ 1.3 (`USING KEY`); this form is exact on 1.0.
+    */
+  private def componentsSql: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, so an
+    // un-materialized `edges` would be re-expanded (re-reading the corpus
+    // through the whole cand pipeline) once per unrolled round
+    val sb = new StringBuilder
+    sb ++= """
+    edges AS MATERIALIZED (
       SELECT a_id AS src, b_id AS dst FROM cand
       UNION ALL SELECT b_id, a_id FROM cand),
-    reach AS (
-      SELECT doc_id AS id, doc_id AS r FROM documents
-      UNION
-      SELECT e.dst AS id, rc.r FROM reach rc JOIN edges e ON e.src = rc.id)
-    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
-    FROM reach GROUP BY id"""
+    cl0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges)"""
+    for (k <- 1 to CompOracleRounds) {
+      val prev = if (k == 1) "cl0" else s"cd${k - 1}"
+      sb ++= s""",
+    cr$k AS (SELECT e.dst AS id, min(l.lab) AS lab
+      FROM edges e JOIN $prev l ON e.src = l.id GROUP BY e.dst),
+    cx$k AS MATERIALIZED (SELECT l.id, least(l.lab, COALESCE(r.lab, l.lab)) AS lab
+      FROM $prev l LEFT JOIN cr$k r USING (id)),
+    cd$k AS MATERIALIZED (SELECT a.id, COALESCE(b.lab, a.lab) AS lab
+      FROM cx$k a LEFT JOIN cx$k b ON a.lab = b.id)"""
+    }
+    sb ++= s""",
+    comp AS (SELECT id, lab FROM cd$CompOracleRounds)"""
+    sb.toString
+  }
+
+  val d6Sql: String = s"""
+    WITH cand AS MATERIALIZED (${d2Sql}),${componentsSql}
+    SELECT doc.doc_id, CAST(COALESCE(l.lab, doc.doc_id) AS BIGINT) AS group_id
+    FROM documents doc LEFT JOIN comp l ON doc.doc_id = l.id"""
 
   /** d7: exact segment-level dedup — non-overlapping 8-token windows
     * hashed and counted across documents; a segment appearing in >= 2
@@ -643,24 +680,89 @@ object Dedup {
   }
 
   val d11Sql: String = s"""
-    WITH RECURSIVE cand AS (${d5Sql}),
-    edges AS (
-      SELECT a_id AS src, b_id AS dst FROM cand
-      UNION ALL SELECT b_id, a_id FROM cand),
-    reach AS (
-      SELECT vec_id AS id, vec_id AS r FROM embeddings
-      UNION
-      SELECT e.dst AS id, rc.r FROM reach rc JOIN edges e ON e.src = rc.id)
-    SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS rep_id,
-      min(r) = id AS keep
-    FROM reach GROUP BY id"""
+    WITH cand AS MATERIALIZED (${d5Sql}),${componentsSql}
+    SELECT emb.vec_id, CAST(COALESCE(l.lab, emb.vec_id) AS BIGINT) AS rep_id,
+      COALESCE(l.lab, emb.vec_id) = emb.vec_id AS keep
+    FROM embeddings emb LEFT JOIN comp l ON emb.vec_id = l.id"""
+
+  /** d12: the REWRITE step — the artifact the dedup family actually
+    * ships: each document's token stream with [[d7]]'s cross-doc
+    * boilerplate segments struck out. Every doc re-derives its
+    * non-overlapping [[SegTokens]]-token segments (the d7 windows), drops
+    * the ones whose hash appears in >= 2 distinct docs, and re-assembles
+    * the survivors in position order plus the (never-counted) < 8-token
+    * tail. Emits one row per doc: kept token count + an md5 digest of the
+    * cleaned text (the gate-friendly stand-in for writing the cleaned
+    * corpus column itself). All linear: one tokenize scan, one
+    * segment-hash anti-join (AQE broadcasts the boilerplate side when
+    * it's small), one per-doc re-assembly aggregate — no all-pairs
+    * anything, the 100 TB rewrite shape.
+    */
+  def d12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val boiler = d7(s, dir).select($"seg_md5")
+    val nseg = (size($"toks") / lit(SegTokens)).cast("int")
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", nseg.as("nseg"), size($"toks").as("ntok"),
+        when(nseg > 0, transform(sequence(lit(0), nseg - 1),
+            i => struct(i.as("i"), concat_ws(" ",
+              slice($"toks", i * SegTokens + 1, lit(SegTokens))).as("seg"))))
+          .otherwise(array().cast("array<struct<i:int,seg:string>>"))
+          .as("segs"),
+        concat_ws(" ",
+          slice($"toks", nseg * SegTokens + 1,
+            size($"toks") - nseg * SegTokens)).as("tail"))
+      // the tokenize+segment scan feeds both the explode and the final
+      // re-assembly join — one corpus read, materialized lazily
+      .localCheckpoint(false)
+    val kept = base
+      .select($"doc_id", explode($"segs").as("s"))
+      .select($"doc_id", $"s.i".as("i"), $"s.seg".as("seg"))
+      .join(boiler, md5($"seg") === $"seg_md5", "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct($"i", $"seg"))),
+          x => x.getField("seg")), " ").as("seg_text"))
+    base.join(kept, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        (coalesce($"n_kept", lit(0L)) * SegTokens +
+          ($"ntok" - $"nseg" * SegTokens)).cast("long").as("kept_token_count"),
+        md5(trim(concat_ws(" ",
+          coalesce($"seg_text", lit("")), $"tail"))).as("cleaned_md5"))
+  }
+
+  val d12Sql: String = s"""
+    WITH boiler AS MATERIALIZED (SELECT seg_md5 FROM (${d7Sql})),
+    tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    base AS MATERIALIZED (SELECT doc_id, toks,
+      CAST(len(toks) // $SegTokens AS INT) AS nseg,
+      CAST(len(toks) AS BIGINT) AS ntok FROM tok),
+    seg AS (SELECT doc_id,
+      unnest(list_transform(range(0, nseg), i -> struct_pack(i := i,
+        seg := array_to_string(
+          toks[i*$SegTokens+1 : i*$SegTokens+$SegTokens], ' ')))) AS u
+      FROM base),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+        string_agg(u.seg, ' ' ORDER BY u.i) AS seg_text
+      FROM seg WHERE md5(u.seg) NOT IN (SELECT seg_md5 FROM boiler)
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+      CAST(COALESCE(k.n_kept, 0) * $SegTokens
+        + (b.ntok - b.nseg * $SegTokens) AS BIGINT) AS kept_token_count,
+      md5(trim(COALESCE(k.seg_text, '') ||
+        CASE WHEN b.ntok - b.nseg * $SegTokens > 0
+          THEN ' ' || array_to_string(b.toks[b.nseg*$SegTokens+1 : ], ' ')
+          ELSE '' END)) AS cleaned_md5
+    FROM base b LEFT JOIN kept k USING (doc_id)"""
 
   val queries: QM = Map(
     "d8_decontamination" -> d8, "d9_incremental_dedup" -> d9,
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
     "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6,
     "d7_segment_dedup" -> d7, "d10_canonical_pick" -> d10,
-    "d11_semantic_dedup" -> d11)
+    "d11_semantic_dedup" -> d11, "d12_dedup_rewrite" -> d12)
 
   val oracles: Map[String, String] = Map(
     "d8_decontamination" -> d8Sql, "d9_incremental_dedup" -> d9Sql,
@@ -668,5 +770,5 @@ object Dedup {
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql,
     "d7_segment_dedup" -> d7Sql, "d10_canonical_pick" -> d10Sql,
-    "d11_semantic_dedup" -> d11Sql)
+    "d11_semantic_dedup" -> d11Sql, "d12_dedup_rewrite" -> d12Sql)
 }

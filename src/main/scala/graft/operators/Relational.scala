@@ -927,8 +927,12 @@ object Relational {
     import s.implicits._
     val o = Tables.orders(s, dir)
     val mm = o.agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
-    val b = least(lit(HistBuckets - 1),
-      floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / HistBuckets)))
+    // degenerate-corpus guard: hi == lo would make the width 0 and the
+    // bucket expression 0/0 (NaN) — Spark and DuckDB degrade differently
+    // on NaN casts, so both sides pin every row to bucket 0 instead
+    val b = when($"hi" === $"lo", lit(0)).otherwise(
+      least(lit(HistBuckets - 1),
+        floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / HistBuckets))))
       .cast("int")
     val hist = o.crossJoin(broadcast(mm))
       .groupBy($"o_orderstatus", b.as("bkt"), $"lo", $"hi")
@@ -951,8 +955,9 @@ object Relational {
       FROM orders),
     hist AS (
       SELECT o_orderstatus,
-        CAST(least($HistBuckets - 1,
-          floor((o_totalprice - lo) / ((hi - lo) / $HistBuckets))) AS INT) AS bkt,
+        CAST(CASE WHEN hi = lo THEN 0 ELSE least($HistBuckets - 1,
+          floor((o_totalprice - lo) / ((hi - lo) / $HistBuckets))) END
+          AS INT) AS bkt,
         lo, hi, count(*) AS c
       FROM orders CROSS JOIN mm
       GROUP BY ALL),

@@ -305,7 +305,7 @@ object TxnQueries {
     */
   def a10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_a10_").toString
+    val root = StreamRunner.stagingRoot(s, "a10_")
     val src = s"$root/src"; val cp = s"$root/cp"; val out = s"$root/out"
     new java.io.File(src).mkdirs()
     val w = workload(s, dir)
@@ -341,19 +341,29 @@ object TxnQueries {
     import s.implicits._
     import graft.streaming.Heartbeats
     val nb = 4
-    // four equal-count, time-ordered micro-batches (ntile over the global
-    // (ts, event_type) order — a single-partition sort, but that's the
-    // harness sequencing the replay, not the aggregate's plan); only the
-    // per-batch max timestamps (nb rows) reach the driver, to build the
-    // heartbeat markers the generator would emit
-    val quart = Tables.events(s, dir).select($"ts", $"event_type")
-      .withColumn("q", ntile(nb).over(
-        org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_type")))
+    // time-range micro-batches (the g2/g5 midpoint-split pattern,
+    // generalized to nb cuts): [min ts, max ts] is divided into nb equal
+    // spans and each event maps to its span with one linear expression —
+    // no global sort anywhere, not even in harness code. Only bounded
+    // scalars reach the driver: the time range and the per-batch max
+    // timestamps (≤ nb rows), which become the heartbeat markers the
+    // generator would emit. Later batches are entirely ≥ earlier batches'
+    // events, so each batch's heartbeat never strands the next batch
+    // behind the watermark.
+    val ev = Tables.events(s, dir).select($"ts", $"event_type")
+    val range = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts"))).head()
+    val (lo, hi) = if (range.isNullAt(0)) (0L, 0L)
+      else (range.getLong(0), range.getLong(1))
+    val span = math.max(1L, (hi - lo) / nb + 1)
+    val quart = ev
+      .withColumn("q", (floor((unix_millis($"ts") - lo) / span) + 1)
+        .cast("int"))
       .localCheckpoint(false)
     val maxes = quart.groupBy($"q").agg(max($"ts").as("mx"))
       .orderBy($"q").as[(Int, java.sql.Timestamp)].collect()
-    val evBatches = (1 to nb).map(i =>
-      quart.filter($"q" === i).select($"ts", $"event_type")) :+
+    // replay only the non-empty spans, in time order
+    val evBatches = maxes.toSeq.map { case (i, _) =>
+      quart.filter($"q" === i).select($"ts", $"event_type") } :+
       quart.limit(0).select($"ts", $"event_type")
     val lastHb = if (maxes.isEmpty) 0L else maxes.map(_._2.getTime).max
     val hbBatches = maxes.toSeq.map { case (_, mx) =>
@@ -402,7 +412,7 @@ object TxnQueries {
     */
   def a12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_a12_").toString
+    val root = StreamRunner.stagingRoot(s, "a12_")
     val src = s"$root/src"; val cp = s"$root/cp"; val ecp = s"$root/enginecp"
     new java.io.File(src).mkdirs()
     val w = multiKeyBlindWorkload(s, dir)

@@ -80,21 +80,45 @@ object Roundtrip {
     * asserts); only the small post-join aggregate shuffles.
     */
   def h5(s: SparkSession, dir: String): DataFrame = {
+    val (join, cleanup) = h5WithCleanup(s, dir)
+    // materialize before dropping the source tables, so every invocation
+    // (gate run, bench rep, concurrent session) leaves neither catalog
+    // entries nor a bucketed table copy behind
+    try join.localCheckpoint(true) finally cleanup()
+  }
+
+  /** The lazy bucketed-join plan plus its cleanup action — split out so
+    * the plan-shape spec can assert the exchange-free SMJ before the
+    * bucketed tables are dropped. Table names are per-invocation unique:
+    * two sessions sharing a metastore (or a gate run concurrent with a
+    * test run) must not race on DROP/saveAsTable.
+    */
+  def h5WithCleanup(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions._
     val wh = tmp("graft_h5_")
-    s.sql("DROP TABLE IF EXISTS h5_orders")
-    s.sql("DROP TABLE IF EXISTS h5_lineitem")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (to, tl) = (s"h5_orders_$tag", s"h5_lineitem_$tag")
     Tables.orders(s, dir).write.mode("overwrite")
       .option("path", s"$wh/o")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("h5_orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
     Tables.lineitem(s, dir).write.mode("overwrite")
       .option("path", s"$wh/l")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("h5_lineitem")
-    s.table("h5_lineitem").hint("merge")
-      .join(s.table("h5_orders"), col("l_orderkey") === col("o_orderkey"))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    val join = s.table(tl).hint("merge")
+      .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).cast("long").as("n_items"),
         graft.Portable.dsum(col("l_quantity"), 2).as("total_qty"))
+    val cleanup = () => {
+      s.sql(s"DROP TABLE IF EXISTS $to")
+      s.sql(s"DROP TABLE IF EXISTS $tl")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(wh))
+    }
+    (join, cleanup)
   }
 
   val h5Sql: String = s"""

@@ -350,7 +350,9 @@ object StreamOps {
       .select($"doc_id".as("a_id"),
         array_distinct(Text.shingles($"toks")).as("a_sh"))
       .localCheckpoint(true)
-    val out = java.nio.file.Files.createTempDirectory("graft_g10_").toString
+    // sink directory through the same shared-filesystem knob as the
+    // staged feeder batches (executors write it, the driver reads it back)
+    val out = StreamRunner.stagingRoot(s, "g10_")
     StreamRunner.runForeachFiles(s,
         Seq(fresh.filter($"doc_id" % 2 === 0),
           fresh.filter($"doc_id" % 2 === 1))) { (batch, _) =>

@@ -55,15 +55,7 @@ object StreamRunner {
   private def stageBatches(tag: String, batches: Seq[DataFrame])
       : (String, StructType) = {
     require(batches.nonEmpty, "need at least one batch")
-    val conf = batches.head.sparkSession.conf
-      .getOption("spark.graft.stagingDir")
-    val root = conf match {
-      case Some(base) =>
-        java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get(base), s"graft_$tag").toString
-      case None =>
-        java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
-    }
+    val root = stagingRoot(batches.head.sparkSession, tag)
     val base = (System.currentTimeMillis() / 1000) * 1000
     batches.zipWithIndex.foreach { case (b, i) =>
       val dir = s"$root/b$i"
@@ -81,6 +73,23 @@ object StreamRunner {
     }
     (s"$root/b*", batches.head.schema)
   }
+
+  /** Resolve a fresh directory for staged batches or batch-fed sinks:
+    * under `spark.graft.stagingDir` when set (a shared mount /
+    * distributed-FS path on a real cluster, so executors' writes are
+    * visible to the driver's read-back), else the driver-local temp dir
+    * (fine in local mode). Every stream feeder and foreachBatch sink that
+    * needs a scratch directory resolves it HERE, so the shared-filesystem
+    * constraint has exactly one knob.
+    */
+  private[graft] def stagingRoot(spark: SparkSession, tag: String): String =
+    spark.conf.getOption("spark.graft.stagingDir") match {
+      case Some(base) =>
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(base), s"graft_$tag").toString
+      case None =>
+        java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    }
 
   /** Best-effort recursive cleanup of a staged-batch root once its query
     * has drained (the replay files are inputs only; results live in the

@@ -4,6 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** One cogroup-fold emission of [[TxnEngine.applyMultiKeyStats]]: a state
+  * row (kind 0) or a txn result (kind 1). Top-level (not nested in
+  * `object TxnEngine`) because Spark's encoder codegen emits Janino code
+  * in another package that must instantiate it and call its accessors — a
+  * private object-nested class forced a silent fallback to interpreted
+  * projection on every multi-key fold execution.
+  */
+final case class FoldEmit(kind: Int, txnId: Long, key: String,
+    value: String, succeeded: Boolean)
+
 /** Deterministic transactional KV layer over Spark — the engine-level
   * re-expression of streamy-db's Calvin-on-a-stream design
   * (reference: /root/reference/modules/runners/flink/src/main/scala/domsj/
@@ -275,12 +285,6 @@ object TxnEngine {
     val (st, res, _) = applyMultiKeyCounted(initialState, txns)
     (st, res)
   }
-
-  /** One cogroup-fold emission: a state row (kind 0) or a txn result
-    * (kind 1).
-    */
-  private final case class FoldEmit(kind: Int, txnId: Long, key: Key,
-      value: Value, succeeded: Boolean)
 
   /** Scheduler/apply statistics: `applyPhases` = the multi-key conflict
     * depth (application is semantically sequential per generation);

@@ -87,11 +87,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("h5 gate query joins bucketed tables without a join-key shuffle") {
-    val p = plan(sources.Roundtrip.h5(s, d))
-    assert(p.contains("SortMergeJoin"), p.take(400))
-    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
-      !p.contains("Exchange hashpartitioning(o_orderkey"),
-      "bucketed gate join should not shuffle join keys:\n" + p.take(1500))
+    val (join, cleanup) = sources.Roundtrip.h5WithCleanup(s, d)
+    try {
+      val p = plan(join)
+      assert(p.contains("SortMergeJoin"), p.take(400))
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        "bucketed gate join should not shuffle join keys:\n" + p.take(1500))
+    } finally cleanup()
   }
 
   test("q39 sliding windows place every event in exactly 4 windows") {
