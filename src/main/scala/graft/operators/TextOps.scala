@@ -488,9 +488,155 @@ object TextOps {
       CAST((cum - n_tokens) % $PackBin AS BIGINT) AS bin_offset
     FROM c"""
 
+  /** Merge rounds learned by [[t16]] (one oracle CTE trio per round) and
+    * the vocabulary cap feeding the loop (top words by (freq desc, word)
+    * — the min-frequency cut every BPE trainer applies, and what keeps
+    * the merge loop bounded regardless of corpus size).
+    */
+  val BpeMergeRounds = 16
+  val BpeVocabCap = 4096
+
+  // the delimited symbol representation t16 shares across engines: every
+  // symbol is wrapped sym, so one merge round is ONE plain
+  // string replace (both engines scan left-to-right, non-overlapping —
+  // exactly BPE's greedy application order), and boundary collisions are
+  // impossible because tokens are alphanumeric only
+  private val SymA = "\u0001"
+  private val SymB = "\u0002"
+
+  /** t16: BPE MERGE LEARNING — the corpus-statistics loop a tokenizer
+    * trainer runs (not just [[t7]]'s pre-tokenization): starting from
+    * characters, repeatedly count adjacent symbol pairs (weighted by word
+    * frequency) and merge the most frequent pair, [[BpeMergeRounds]]
+    * times with a deterministic (count desc, left, right) tie-break.
+    * Scale shape: the ONLY corpus-scale step is the word-frequency
+    * aggregate; the merge loop runs on the capped vocabulary table
+    * (≤ [[BpeVocabCap]] rows), and the driver sees one (l, r) pair per
+    * round — the s3-Lloyd codebook discipline. Emits one row per learned
+    * merge: (round, lhs, rhs, pair_count).
+    */
+  def t16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables.documents(s, dir)
+      .select(explode(Text.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy($"n".desc, $"w").limit(BpeVocabCap)
+    var state = wf
+      .select(regexp_replace($"w", "(.)", SymA + "$1" + SymB).as("s"), $"n")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeMergeRounds && !exhausted) {
+      val syms = split(substring($"s", lit(2), length($"s") - 2),
+        SymB + SymA)
+      val best = state
+        .select($"n", syms.as("sy"))
+        .select($"n", when(size($"sy") >= 2,
+          transform(sequence(lit(1), size($"sy") - 1),
+            i => struct(element_at($"sy", i).as("l"),
+              element_at($"sy", i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+          .as("prs"))
+        .select($"n", explode($"prs").as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"n").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, l, r, cnt))
+        state = state
+          .select(org.apache.spark.sql.functions.replace($"s",
+            lit(SymA + l + SymB + SymA + r + SymB),
+            lit(SymA + l + r + SymB)).as("s"), $"n")
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.result()
+      .toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The same loop unrolled as oracle SQL: one (pairs, best, state) CTE
+    * trio per round (the s3 Lloyd-unroll pattern). `LEFT JOIN ... ON
+    * TRUE` instead of a cross join so an exhausted pair table carries the
+    * state forward instead of annihilating it; MATERIALIZED because
+    * DuckDB inlines CTEs and each state feeds two consumers.
+    */
+  val t16Sql: String = {
+    val a = "chr(1)"
+    val b = "chr(2)"
+    val sb = new StringBuilder
+    sb ++= s"""
+    WITH tok AS (SELECT unnest(${TextSql.toks}) AS w FROM documents),
+    wf AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w
+      ORDER BY n DESC, w LIMIT $BpeVocabCap),
+    v0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', $a || '\\1' || $b, 'g') AS s, n
+      FROM wf)"""
+    for (k <- 1 to BpeMergeRounds) {
+      val prev = s"v${k - 1}"
+      sb ++= s""",
+    p$k AS (SELECT pr.l AS l, pr.r AS r, sum(n) AS cnt FROM (
+        SELECT n, unnest(list_transform(range(1, len(sy)),
+          i -> struct_pack(l := sy[i], r := sy[i+1]))) AS pr
+        FROM (SELECT string_split(substr(s, 2, length(s)-2), $b || $a) AS sy,
+              n FROM $prev))
+      GROUP BY pr.l, pr.r),
+    b$k AS MATERIALIZED (
+      SELECT $k AS round, l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+    v$k AS MATERIALIZED (
+      SELECT CASE WHEN b.l IS NULL THEN v.s ELSE replace(v.s,
+          $a || b.l || $b || $a || b.r || $b, $a || b.l || b.r || $b) END AS s,
+        v.n
+      FROM $prev v LEFT JOIN b$k b ON TRUE)"""
+    }
+    sb ++= (1 to BpeMergeRounds)
+      .map(k => s"SELECT round, l, r, cnt FROM b$k")
+      .mkString("\n    SELECT round, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM (\n    ",
+        "\n    UNION ALL ", ")")
+    sb.toString
+  }
+
+  /** Batch size (docs per training batch) for [[t17]]. */
+  val EpochBatch = 32L
+
+  /** t17: deterministic EPOCH SHUFFLE — the training-order permutation
+    * step after packing ([[t15]]): each document's position in its epoch
+    * is the rank of `md5(epoch:doc_id)` within its `lang` shard ([[t9]]'s
+    * hash-key discipline — stable under reruns and resumable mid-epoch),
+    * then positions group into [[EpochBatch]]-doc batches. The window
+    * partitions on the shard key: no global sort, shards permute
+    * independently — exactly how a sharded data loader draws its epoch
+    * order at 100 TB.
+    */
+  def t17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"skey", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        md5(concat(lit("e1:"), $"doc_id".cast("string"))).as("skey"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("batch", (($"pos" - 1) / EpochBatch).cast("long"))
+  }
+
+  val t17Sql: String = s"""
+    WITH k AS (SELECT doc_id, lang,
+        md5('e1:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents)
+    SELECT doc_id, lang, skey,
+      CAST(row_number() OVER w AS BIGINT) AS pos,
+      CAST((row_number() OVER w - 1) // $EpochBatch AS BIGINT) AS batch
+    FROM k WINDOW w AS (PARTITION BY lang ORDER BY skey, doc_id)"""
+
   val queries: Map[String, Q] = Map(
     "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
-    "t15_sequence_packing" -> t15,
+    "t15_sequence_packing" -> t15, "t16_bpe_merges" -> t16,
+    "t17_epoch_shuffle" -> t17,
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
     "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
@@ -498,7 +644,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
-    "t15_sequence_packing" -> t15Sql,
+    "t15_sequence_packing" -> t15Sql, "t16_bpe_merges" -> t16Sql,
+    "t17_epoch_shuffle" -> t17Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,

@@ -210,6 +210,86 @@ class TextDedupSpec extends AnyFunSuite {
         s"radius recall ${(truth & got).size}/${truth.size}")
   }
 
+  test("d12 rewrite equals a sequential strip-the-boilerplate reference") {
+    import s.implicits._
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = sources.Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val segOf = (toks: Seq[String]) => toks.grouped(Dedup.SegTokens).toSeq
+    val boiler = docs
+      .flatMap { case (id, toks) =>
+        segOf(toks).filter(_.size == Dedup.SegTokens)
+          .map(g => (g.mkString(" "), id)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expect = docs.map { case (id, toks) =>
+      val kept = segOf(toks)
+        .filter(g => g.size < Dedup.SegTokens || !boiler(g.mkString(" ")))
+        .flatten
+      id -> ((kept.size.toLong, md5hex(kept.mkString(" "))))
+    }.toMap
+    val got = Dedup.d12(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == expect)
+    assert(boiler.nonEmpty, "corpus should contain planted boilerplate")
+  }
+
+  test("t16 merges match a sequential reference BPE trainer") {
+    val wf = sources.Tables.documents(s, d)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, n) => (-n, w) }.take(TextOps.BpeVocabCap)
+    var vocab = wf.map { case (w, n) => (w.map(_.toString).toVector, n) }.toSeq
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (round <- 1 to TextOps.BpeMergeRounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) = counts.toSeq
+          .minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        expect += ((round, l, r, cnt))
+        vocab = vocab.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == l && x == r)
+              out(out.length - 1) = l + r
+            else out += x
+          }
+          (out.toVector, n)
+        }
+      }
+    }
+    val got = TextOps.t16(s, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expect.toSeq)
+    assert(got.size == TextOps.BpeMergeRounds)
+  }
+
+  test("t17 epoch shuffle permutes each shard and actually shuffles") {
+    val df = TextOps.t17(s, d)
+    val bad = df.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        countDistinct(col("pos")).as("np"))
+      .filter(col("mx") =!= col("n") || col("np") =!= col("n"))
+    assert(bad.isEmpty, "positions must be a 1..n permutation per shard")
+    assert(df.filter(col("batch") =!=
+      floor((col("pos") - 1) / TextOps.EpochBatch)).isEmpty)
+    // the permutation must differ from plain doc_id order somewhere
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    val moved = df.withColumn("idpos", row_number().over(w))
+      .filter(col("idpos") =!= col("pos")).count()
+    assert(moved > 0, "epoch shuffle should not be the identity order")
+  }
+
   test("m3 stub features are deterministic and in [0,1]") {
     val a = Multimodal.m3(s, d).collect().sortBy(_.getLong(0))
     val b = Multimodal.m3(s, d).collect().sortBy(_.getLong(0))
