@@ -99,4 +99,22 @@ gen("embeddings", lambda i: f"""
           f"AS FLOAT[]) AS embedding"},
          label FROM {src('embeddings')}""")
 
+# DuckDB's parquet writer normalizes timestamps to [us]; the source tables
+# use [ns] (events.ts — Spark reads it as BIGINT nanos via
+# legacy.parquet.nanosAsLong) and [ms] (o_orderdate, l_shipdate). Cast each
+# derived table back to the source's exact arrow schema so sf1 is
+# type-identical to the driver's testdata.
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"):
+    src_schema = pq.read_schema(f"{SRC}/{t}.parquet")
+    dst_path = f"{DST}/{t}.parquet"
+    tbl = pq.read_table(dst_path)
+    target = pa.schema([src_schema.field(n) for n in tbl.schema.names])
+    if tbl.schema != target:
+        pq.write_table(tbl.cast(target), dst_path)
+        print(f"{t}: schema re-cast to source types")
+
 print("done ->", DST)

@@ -139,16 +139,19 @@ object Bench {
       .mkString("{", ",", "}")
 
     // multi-key txn engine cost shape, tracked per round: the gate
-    // workload's phase/scheduler counts (each apply phase is one global
-    // barrier — the engine's scale-limiting dimension) plus a synthetic
-    // single-hot-key conflict chain, whose per-phase wall time is the
-    // barrier overhead a pathological micro-batch would pay
+    // workload's component census (the fold path's parallelism dimension)
+    // plus a synthetic single-hot-key conflict chain — one deep component,
+    // whose wall time is the sequential-fold floor a pathological
+    // micro-batch pays (the generational fallback's per-barrier cost is
+    // spec-tracked, not benched: it only runs past the component cap)
     val txnStats = {
       import spark.implicits._
       val wl = operators.TxnQueries.multiKeyWorkloadDS(spark, sfDir)
       val empty = Seq.empty[(String, String)].toDF("key", "value")
+      val t8 = System.nanoTime()
       val (st8, _, s8) = streaming.TxnEngine.applyMultiKeyStats(empty, wl)
       st8.write.format("noop").mode("overwrite").save()
+      val a8Sec = (System.nanoTime() - t8) / 1e9
       val depth = 64
       val chain = (1 to depth).map { i =>
         streaming.TxnEngine.Txn(i.toLong,
@@ -161,10 +164,10 @@ object Bench {
       val (stC, _, sC) = streaming.TxnEngine.applyMultiKeyStats(empty, chain)
       stC.write.format("noop").mode("overwrite").save()
       val chainSec = (System.nanoTime() - t0) / 1e9
-      f""""a8_phases":${s8.applyPhases},"a8_sched_passes":${s8.schedulerPasses},""" +
+      f""""a8_phases":${s8.applyPhases},"a8_components":${s8.foldedComponents},""" +
+        f""""a8_max_component":${s8.maxComponentTxns},"a8_sec":$a8Sec%.3f,""" +
         f""""chain_depth":$depth,"chain_phases":${sC.applyPhases},""" +
-        f""""chain_sec":$chainSec%.3f,""" +
-        f""""chain_phase_ms":${chainSec * 1000 / math.max(1, sC.applyPhases)}%.1f"""
+        f""""chain_sec":$chainSec%.3f"""
     }
 
     // ANN quality: recall vs the exact s1 baseline + exact-scored

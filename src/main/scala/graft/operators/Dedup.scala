@@ -5,6 +5,8 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize.MaterializeOps
+
 /** Deduplication family (SURVEY §2 D).
   *
   * Scale posture: every query here is linear maps + keyed equi-joins — the
@@ -421,7 +423,7 @@ object Dedup {
           prop.select($"doc_id".as("group_id"), $"group_id".as("gg")),
           Seq("group_id"), "left_outer")
         .select($"doc_id", $"old", coalesce($"gg", $"group_id").as("group_id"))
-        .localCheckpoint(true)
+        .materialize
       converged = next.filter($"group_id" =!= $"old").isEmpty
       labels = next.select($"doc_id", $"group_id")
       rounds += 1

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.plans.Materialize.MaterializeOps
+
 /** One cogroup-fold emission of [[TxnEngine.applyMultiKeyStats]]: a state
   * row (kind 0) or a txn result (kind 1). Top-level (not nested in
   * `object TxnEngine`) because Spark's encoder codegen emits Janino code
@@ -42,6 +44,9 @@ object TxnEngine {
 
   type Key = String
   type Value = String
+
+  /** Per-phase scheduler diagnostics (dev): set SPARK_GRAFT_MK_DEBUG=1. */
+  private val Debug = sys.env.get("SPARK_GRAFT_MK_DEBUG").contains("1")
 
   /** Single-key transaction: one assert + one update on `key`.
     * `assertPresent=false` with null `assertValue` means "expect absent";
@@ -180,14 +185,14 @@ object TxnEngine {
       txnKeys: DataFrame, maxClosurePairs: Long): (DataFrame, Int) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("txn_id"))
-    val ids = txnKeys.select(col("txn_id")).distinct().localCheckpoint(true)
+    val ids = txnKeys.select(col("txn_id")).distinct().materialize
     val edges = txnKeys
       .select(col("txn_id"), col("key")).distinct()
       .withColumn("src", lag(col("txn_id"), 1).over(w))
       .filter(col("src").isNotNull)
       .select(col("src"), col("txn_id").as("dst")).distinct()
       .withColumn("d", lit(1L))
-      .localCheckpoint(true)
+      .materialize
     // (pair count, total distance) grows strictly monotonically until the
     // max-plus closure is reached — a scalar convergence probe per pass
     def weight(df: DataFrame): (Long, Long) = {
@@ -209,7 +214,7 @@ object TxnEngine {
           (col("a.d") + col("b.d")).as("d"))
       val next = r.union(squared)
         .groupBy(col("src"), col("dst")).agg(max(col("d")).as("d"))
-        .localCheckpoint(true)
+        .materialize
       val cur = weight(next)
       converged = cur == prev
       prev = cur
@@ -227,7 +232,7 @@ object TxnEngine {
     */
   private def relaxGenerations(ids: DataFrame, edges: DataFrame,
       passesSoFar: Int): (DataFrame, Int) = {
-    var gens = ids.withColumn("gen", lit(0L)).localCheckpoint(true)
+    var gens = ids.withColumn("gen", lit(0L)).materialize
     var passes = passesSoFar
     var prevSum = 0L
     var converged = false
@@ -240,7 +245,7 @@ object TxnEngine {
           "left_outer")
         .select(col("g.txn_id").as("txn_id"),
           greatest(col("g.gen"), coalesce(col("r.cand"), lit(0L))).as("gen"))
-        .localCheckpoint(true)
+        .materialize
       val curSum = next.agg(coalesce(sum(col("gen")), lit(0L))).head().getLong(0)
       converged = curSum == prevSum
       prevSum = curSum
@@ -291,7 +296,14 @@ object TxnEngine {
     * `schedulerPasses` = the pointer-doubled scheduling passes (~log2 of
     * that depth — the scale spec's bound).
     */
-  final case class MkStats(applyPhases: Int, schedulerPasses: Int)
+  /** `applyPhases`/`schedulerPasses` describe the generational fallback
+    * (one barrier per conflict level / pointer-doubled scheduling passes);
+    * the component-fold fast path reports applyPhases=1 plus the component
+    * census it folded (`foldedComponents`, `maxComponentTxns` — 0/0 on the
+    * generational path).
+    */
+  final case class MkStats(applyPhases: Int, schedulerPasses: Int,
+      foldedComponents: Long = 0L, maxComponentTxns: Long = 0L)
 
   /** [[applyMultiKeyStats]] returning only the apply-phase count (the
     * hot-key scalability metric the interleaving specs assert on).
@@ -302,7 +314,136 @@ object TxnEngine {
     (st, res, stats.applyPhases)
   }
 
+  /** Txns-per-component cap for the in-memory component fold
+    * ([[applyMultiKeyStats]]'s fast path): a batch whose largest conflict
+    * component exceeds this falls back to the generational rounds, whose
+    * memory stays bounded at one generation per barrier. Override with
+    * the `spark.graft.txn.foldComponentCap` session conf (0 forces the
+    * generational path — the scheduler specs use this).
+    */
+  val FoldComponentCap: Long = 4L * 1000 * 1000
+
   /** [[applyMultiKeyFrom]], also returning [[MkStats]].
+    *
+    * Architecture: conflict COMPONENTS first, barriers only as fallback.
+    * Consecutive txns on a key conflict; the connected components of that
+    * relation are exactly the closures the reference's per-key lock-waiter
+    * queues drain (StreamyDb.scala:66-129) — txns in different components
+    * share no keys (directly or transitively), so components are
+    * independent. The fast path cogroups (txns, state) by component and
+    * folds each component sequentially in txnId order inside one task —
+    * per-key pipelining with ZERO per-depth barriers; a depth-k conflict
+    * chain costs one distributed pass, not k. Component labels come from
+    * pointer-doubled label propagation over the conflict edges (O(log
+    * depth) metadata passes, [[graft.operators.Dedup.componentsOf]]).
+    *
+    * A component's txns must fit one task (they fold sequentially — the
+    * same inherent serialization the reference's waiter queue serializes
+    * on); if the largest component exceeds [[FoldComponentCap]] the batch
+    * takes [[applyMultiKeyGenerational]] instead: conflict-free
+    * generations applied one barrier per conflict level with bounded
+    * per-task memory. Results are identical either way (spec-enforced).
+    */
+  def applyMultiKeyStats(initialState: DataFrame, txns: Dataset[Txn])
+      : (DataFrame, DataFrame, MkStats) = {
+    val spark = txns.sparkSession
+    val tds = txns.localCheckpoint(true)
+    val flat = tds.toDF()
+    val txnKeys = flat.select(col("txnId").as("txn_id"),
+      explode(array_distinct(concat(
+        transform(col("asserts"), a => a.getField("key")),
+        transform(col("updates"), u => u.getField("key"))))).as("key"))
+    val arity = txnKeys.groupBy(col("txn_id"))
+      .agg(count(lit(1)).as("nk"))
+    val keyed = txnKeys
+      .join(arity, "txn_id")
+      .select(col("txn_id"), col("key"), (col("nk") > 1).as("is_multi"))
+      .materialize
+
+    val cap = spark.conf
+      .get("spark.graft.txn.foldComponentCap", FoldComponentCap.toString)
+      .toLong
+    // conflict components over (txn, key) metadata: chain edges connect
+    // consecutive txns per key (enough for connectivity), labels by
+    // pointer-doubled propagation. Isolated txns (no conflict) label
+    // themselves.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("txn_id"))
+    val chainEdges = keyed
+      .withColumn("src", lag(col("txn_id"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .select(col("src").as("a_id"), col("txn_id").as("b_id"))
+      .distinct()
+    val comp = keyed.select(col("txn_id")).distinct()
+      .join(graft.operators.Dedup.componentsOf(chainEdges)
+        .withColumnRenamed("doc_id", "txn_id"), Seq("txn_id"), "left_outer")
+      .select(col("txn_id"),
+        coalesce(col("group_id"), col("txn_id")).as("comp"))
+      .materialize
+    val sizes = comp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), count(lit(1))).head()
+    val (maxComp, nComp) =
+      if (sizes.isNullAt(0)) (0L, 0L) else (sizes.getLong(0), sizes.getLong(1))
+    if (maxComp <= cap)
+      applyMultiKeyFolded(initialState, tds, keyed, comp, nComp, maxComp)
+    else
+      applyMultiKeyGenerational(initialState, tds, keyed)
+  }
+
+  /** Fast path: fold every conflict component's txns sequentially (txnId
+    * order) against that component's slice of the state, one cogroup —
+    * all components in parallel, no cross-component coordination.
+    */
+  private def applyMultiKeyFolded(initialState: DataFrame,
+      tds: Dataset[Txn], keyed: DataFrame, comp: DataFrame,
+      nComp: Long, maxComp: Long): (DataFrame, DataFrame, MkStats) = {
+    val spark = tds.sparkSession
+    import spark.implicits._
+    val flat = tds.toDF()
+    // every key belongs to exactly one component (all txns touching it
+    // are connected through it); min() just picks that label
+    val keyComp = keyed.join(comp, "txn_id")
+      .groupBy(col("key")).agg(min(col("comp")).as("comp"))
+      .materialize
+    val compTyped = comp.select(col("txn_id"), col("comp")).as[(Long, Long)]
+    val txWithComp = tds
+      .joinWith(compTyped, tds("txnId") === compTyped("txn_id"))
+      .map { case (t, (_, c)) => (c, t) }
+    val stTouched = initialState.join(keyComp, Seq("key"))
+      .select(col("comp"), col("key"), col("value"))
+      .as[(Long, String, String)]
+    val folded = txWithComp.groupByKey(_._1)
+      .cogroup(stTouched.groupByKey(_._1)) { (_, txIt, stIt) =>
+        val kv = scala.collection.mutable.HashMap.empty[Key, Value]
+        stIt.foreach { case (_, k, v) => kv(k) = v }
+        val out = List.newBuilder[FoldEmit]
+        txIt.map(_._2).toSeq.sortBy(_.txnId).foreach { t =>
+          val ok = t.asserts.forall(a => kv.get(a.key) == a.valueOption)
+          if (ok) t.updates.foreach { u =>
+            u.valueOption match {
+              case Some(v) => kv(u.key) = v
+              case None => kv.remove(u.key)
+            }
+          }
+          out += FoldEmit(1, t.txnId, null, null, ok)
+        }
+        kv.foreach { case (k, v) => out += FoldEmit(0, -1L, k, v, false) }
+        out.result().iterator
+      }.toDF().materialize
+    val state = initialState.join(keyComp, Seq("key"), "left_anti")
+      .union(folded.filter(col("kind") === 0).select(col("key"), col("value")))
+    val results = flat
+      .filter(size(col("asserts")) + size(col("updates")) === 0)
+      .select(col("txnId"), lit(true).as("succeeded"))
+      .union(folded.filter(col("kind") === 1)
+        .select(col("txnId"), col("succeeded")))
+    (state, results, MkStats(1, 0, nComp, maxComp))
+  }
+
+  /** Fallback for batches with an over-cap conflict component: schedule
+    * into conflict-free generations and apply one barrier per conflict
+    * level with bounded per-task memory.
     *
     * Hot-key posture (the reference's per-key lock-waiter queues,
     * StreamyDb.scala:66-129, let a hot key's chain drain without blocking
@@ -320,27 +461,11 @@ object TxnEngine {
     * inputs and union in batches. Phases count the multi-key conflict
     * depth only: a 1,000-txn single-hot-key log folds in ONE phase.
     */
-  def applyMultiKeyStats(initialState: DataFrame, txns: Dataset[Txn])
-      : (DataFrame, DataFrame, MkStats) = {
+  private[graft] def applyMultiKeyGenerational(initialState: DataFrame,
+      txns: Dataset[Txn]): (DataFrame, DataFrame, MkStats) = {
     val spark = txns.sparkSession
-    import spark.implicits._
     val tds = txns.localCheckpoint(true)
     val flat = tds.toDF()
-    val asserts = flat
-      .select(col("txnId").as("txn_id"), explode(col("asserts")).as("a"))
-      .select(col("txn_id"), col("a.key").as("key"),
-        col("a.valueOption").as("expected"))
-      .localCheckpoint(true)
-    // last update wins within a txn (reference applies updates in order)
-    val updates = flat
-      .select(col("txnId").as("txn_id"), posexplode(col("updates")).as(Seq("pos", "u")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("txn_id"), col("u.key")).orderBy(col("pos").desc)))
-      .filter(col("rn") === 1)
-      .select(col("txn_id"), col("u.key").as("key"),
-        col("u.valueOption").as("u_value"))
-      .localCheckpoint(true)
     val txnKeys = flat.select(col("txnId").as("txn_id"),
       explode(array_distinct(concat(
         transform(col("asserts"), a => a.getField("key")),
@@ -350,12 +475,36 @@ object TxnEngine {
     val keyed = txnKeys
       .join(arity, "txn_id")
       .select(col("txn_id"), col("key"), (col("nk") > 1).as("is_multi"))
-      .localCheckpoint(true)
+      .materialize
+    applyMultiKeyGenerational(initialState, tds, keyed)
+  }
+
+  private def applyMultiKeyGenerational(initialState: DataFrame,
+      tds: Dataset[Txn], keyed: DataFrame)
+      : (DataFrame, DataFrame, MkStats) = {
+    val spark = tds.sparkSession
+    import spark.implicits._
+    val flat = tds.toDF()
+    val asserts = flat
+      .select(col("txnId").as("txn_id"), explode(col("asserts")).as("a"))
+      .select(col("txn_id"), col("a.key").as("key"),
+        col("a.valueOption").as("expected"))
+      .materialize
+    // last update wins within a txn (reference applies updates in order)
+    val updates = flat
+      .select(col("txnId").as("txn_id"), posexplode(col("updates")).as(Seq("pos", "u")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("txn_id"), col("u.key")).orderBy(col("pos").desc)))
+      .filter(col("rn") === 1)
+      .select(col("txn_id"), col("u.key").as("key"),
+        col("u.valueOption").as("u_value"))
+      .materialize
 
     // ---- scheduling: O(log depth) passes, all metadata-only ----
     val (mGens, schedPasses) =
       generationsCounted(keyed.filter(col("is_multi")).select(col("txn_id"), col("key")))
-    val gens = mGens.localCheckpoint(true)
+    val gens = mGens.materialize
     // a single-key txn folds in the phase after the last multi-key txn
     // preceding it on its key (phase 0 if none); each phase's fold applies
     // the whole single-key run between two multis in one cogroup pass
@@ -368,7 +517,7 @@ object TxnEngine {
           .over(w) + 1, lit(0)))
       .filter(!col("is_multi"))
       .select(col("txn_id"), col("key"), col("ph"))
-      .localCheckpoint(true)
+      .materialize
     // driver-bounded scheduling scalars: the phase count and which phases
     // fold singles — O(#phases), never the txn set
     val maxMultiGen = {
@@ -407,7 +556,7 @@ object TxnEngine {
             }
             value.foreach(v => out += FoldEmit(0, -1L, k, v, false))
             out.result().iterator
-        }.toDF().localCheckpoint(true)
+        }.toDF().materialize
         resultParts += folded.filter(col("kind") === 1)
           .select(col("txnId").as("txn_id"), col("succeeded"))
         state = state.join(touched, Seq("key"), "left_anti")
@@ -436,12 +585,21 @@ object TxnEngine {
       }
       // the phase's one global materialization (results stay lazy — their
       // lineage is shallow joins over this checkpoint and the fold's)
-      state = state.localCheckpoint(true)
+      val tCk = System.nanoTime()
+      state = state.materialize
       phase += 1
+      var mergeMs = 0.0
       if (resultParts.length >= 32) { // keep the deferred union tree shallow
-        val merged = resultParts.reduce(_ union _).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val merged = resultParts.reduce(_ union _).materialize
+        mergeMs = (System.nanoTime() - t0) / 1e6
         resultParts.clear()
         resultParts += merged
+      }
+      if (Debug) {
+        val bits = state.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+        System.err.println(
+          f"[mk] phase=$phase%4d state_bits=$bits%9d ck_ms=${(System.nanoTime() - tCk) / 1e6}%8.1f merge_ms=$mergeMs%8.1f")
       }
     }
     val results = resultParts.reduce(_ union _)
@@ -525,7 +683,7 @@ object TxnEngine {
           stateDf = spark.read.parquet(s"$dir/state/$batchId")
           resultsDf = resultsDf
             .union(spark.read.parquet(s"$dir/results/$batchId"))
-            .localCheckpoint(true)
+            .materialize
           val fs = hadoopFs(dir)
           fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/commits"))
           fs.create(new org.apache.hadoop.fs.Path(s"$dir/commits/$batchId"),
@@ -533,7 +691,7 @@ object TxnEngine {
           lastCommitted = batchId
         case None =>
           stateDf = st
-          resultsDf = resultsDf.union(res).localCheckpoint(true)
+          resultsDf = resultsDf.union(res).materialize
       }
     }
 

@@ -96,13 +96,12 @@ class TxnEngineSpec extends AnyFunSuite {
     assert(phases <= 8, s"interleaved hot-key log took $phases phases")
   }
 
-  test("100-deep pure multi-key chain: log-bounded scheduler passes") {
+  test("100-deep pure multi-key chain: one component fold, no per-depth barriers") {
     import s.implicits._
     // txn i touches keys c{i} and c{i+1}: every txn conflicts with both
-    // neighbors — a pure multi-key conflict chain of depth 100 with no
-    // single-key txns to peel. Application is semantically sequential
-    // (100 apply phases), but SCHEDULING must resolve in ~log2(100)
-    // pointer-doubled passes, not 100 ready-set rounds.
+    // neighbors — a pure multi-key conflict chain of depth 100. The
+    // default path must recognize it as ONE conflict component and fold
+    // it in a single distributed pass, not 100 generation barriers.
     val txns = (0 until 100).map { i =>
       Txn(i.toLong,
         asserts = if (i == 0) Seq.empty
@@ -118,12 +117,75 @@ class TxnEngineSpec extends AnyFunSuite {
     assert(stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
       == oracleState)
     assert(oracleResults.forall(_.succeeded), "chain asserts must all pass")
+    assert(stats.applyPhases == 1,
+      s"expected one component-fold pass, got ${stats.applyPhases}")
+    assert(stats.foldedComponents == 1L && stats.maxComponentTxns == 100L,
+      s"expected one 100-txn component, got ${stats}")
+    info(s"applyPhases=${stats.applyPhases} components=${stats.foldedComponents}")
+  }
+
+  test("generational fallback: 100-deep chain in depth barriers, log-bounded scheduling") {
+    import s.implicits._
+    // same chain, forced down the over-cap fallback path: application is
+    // semantically sequential (100 apply phases), but SCHEDULING must
+    // resolve in ~log2(100) pointer-doubled passes, not 100 ready-set
+    // rounds — and results must match the fold path bit-for-bit.
+    val txns = (0 until 100).map { i =>
+      Txn(i.toLong,
+        asserts = if (i == 0) Seq.empty
+          else Seq(KeyValueOption(s"c$i", Some(s"v${i - 1}"))),
+        updates = Seq(KeyValueOption(s"c$i", Some(s"v$i")),
+          KeyValueOption(s"c${i + 1}", Some(s"v$i"))))
+    }
+    val (stateDf, resultsDf, stats) = TxnEngine.applyMultiKeyGenerational(
+      Seq.empty[(String, String)].toDF("key", "value"), txns.toDS())
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    assert(resultsDf.as[MkResult].collect().toSeq.sortBy(_.txnId)
+      == oracleResults.sortBy(_.txnId))
+    assert(stateDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == oracleState)
     assert(stats.applyPhases == 100,
       s"expected 100 sequential apply phases, got ${stats.applyPhases}")
     // ceil(log2(99)) = 7 doubling passes + 1 convergence-verification pass
     assert(stats.schedulerPasses <= 9,
       s"scheduling took ${stats.schedulerPasses} passes for a 100-deep chain")
     info(s"applyPhases=${stats.applyPhases} schedulerPasses=${stats.schedulerPasses}")
+  }
+
+  test("fold and generational paths agree on a mixed random workload") {
+    import s.implicits._
+    // deterministic pseudo-random mix: hot-key singles, multi-key txns
+    // over a small keyspace (deep conflict components), deletes,
+    // assert-absent, keyless txns — both engines must equal the
+    // sequential oracle and each other.
+    val txns = (0 until 400).map { i =>
+      val r = ((i * 2654435761L) >>> 7) // deterministic hash ordering
+      val k1 = s"k${r % 13}"
+      val k2 = s"k${(r / 13) % 13}"
+      val asserts =
+        if (i % 5 == 0) Seq(KeyValueOption(k1, None))
+        else if (i % 5 == 1) Seq(KeyValueOption(k1, Some(s"v${(i - 5).max(0)}")))
+        else Seq.empty
+      val updates =
+        if (i % 11 == 10) Seq.empty // keyless
+        else if (i % 3 == 0) Seq(KeyValueOption(k1, Some(s"v$i")),
+          KeyValueOption(k2, if (i % 7 == 0) None else Some(s"w$i")))
+        else Seq(KeyValueOption(k1, Some(s"v$i")))
+      Txn(i.toLong, if (updates.isEmpty) Seq.empty else asserts, updates)
+    }
+    val empty = Seq.empty[(String, String)].toDF("key", "value")
+    val (stF, resF, statsF) = TxnEngine.applyMultiKeyStats(empty, txns.toDS())
+    val (stG, resG, _) = TxnEngine.applyMultiKeyGenerational(empty, txns.toDS())
+    val (oracleState, oracleResults) = TxnEngine.sequentialOracle(txns)
+    assert(statsF.applyPhases == 1, "mixed workload must take the fold path")
+    val rF = resF.as[MkResult].collect().toSeq.sortBy(_.txnId)
+    val rG = resG.as[MkResult].collect().toSeq.sortBy(_.txnId)
+    assert(rF == oracleResults.sortBy(_.txnId))
+    assert(rG == rF, "generational and fold results diverge")
+    val sF = stF.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sG = stG.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sF == oracleState)
+    assert(sG == sF, "generational and fold state diverge")
   }
 
   test("scheduler bails from path doubling to label relaxation past the pair cap") {
