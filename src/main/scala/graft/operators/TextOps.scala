@@ -5,6 +5,8 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Materialize.MaterializeOps
+
 /** Text analysis over the documents table (SURVEY §2 C): tokenization,
   * quality scoring, heuristic language ID, fingerprinting, shingling,
   * corpus frequencies. All linear per-row maps + one aggregation — no
@@ -552,7 +554,7 @@ object TextOps {
           .select(org.apache.spark.sql.functions.replace($"s",
             lit(SymA + l + SymB + SymA + r + SymB),
             lit(SymA + l + r + SymB)).as("s"), $"n")
-          .localCheckpoint(true)
+          .materialize
         round += 1
       }
     }
