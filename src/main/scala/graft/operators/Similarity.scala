@@ -35,6 +35,27 @@ object Similarity {
     p
   }
 
+  /** Multi-probe budget from plane count (query-directed multi-probe, Lv
+    * et al., VLDB'07): Hamming radius 3 through 10 planes — the ring that
+    * measures recall 0.96 at sf0.1 — radius 4 above, and the flips are
+    * restricted to the query's [[MaxWeakBits]] LOWEST-|dot| planes. A
+    * true neighbor disagrees exactly on the low-margin bits, so flipping
+    * those first buys the most recall per probe, and the budget is
+    * C(14, <=4) = 1,471 masks per table NO MATTER how many planes the
+    * corpus needs — bounded in N, where naive Hamming-r probing grows
+    * C(p, 4) ~ p^4. Probes stay on the bounded query side only.
+    */
+  val MaxWeakBits = 14
+  def probeRadius(p: Int): Int = if (p <= 10) 3 else 4
+  def weakBits(p: Int): Int = math.min(p, MaxWeakBits)
+
+  /** All flip masks as position subsets into the weak-bit list: every
+    * subset of {0..w-1} of size <= r (the empty subset = the exact
+    * bucket), in deterministic (size, lexicographic) order.
+    */
+  private[operators] def probeSubsets(w: Int, r: Int): Seq[Seq[Int]] =
+    (0 to r).flatMap(k => (0 until w).combinations(k).map(_.toSeq))
+
   /** IVF centroid count ~sqrt(N) (bounded cell occupancy ~sqrt(N)), and
     * cells probed per query ~sqrt(k) — candidates/query ~ N^(3/4).
     * Defined with `ceil(sqrt(double))` on both engines: sqrt/ceil are
@@ -99,29 +120,37 @@ object Similarity {
   private[operators] def planeWeights(planes: Int): Array[Array[Double]] =
     planeTable(0, planes)
 
+  /** In-order plane dot product — the ONE float expression both the
+    * bucket sign test and the weak-bit ranking derive from (and the
+    * DuckDB oracle's `list_sum` mirrors term-for-term).
+    */
+  private def dotCol(emb: Column, wgt: Array[Double]): Column = {
+    val lits = array(wgt.map(lit): _*)
+    aggregate(zip_with(emb, lits, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   /** Sign-bit bucket id for one embedding column (table 0 is shared with
     * Dedup.d5's candidate gating).
     */
   private[operators] def bucketCol(emb: Column, table: Int, planes: Int): Column =
     planeTable(table, planes).zipWithIndex.map { case (w, p) =>
-      val lits = array(w.map(lit): _*)
-      val dot = aggregate(zip_with(emb, lits, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+      when(dotCol(emb, w) >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** s2: random-hyperplane LSH ANN — [[NumTables]] independent hash
-    * tables, multi-probe (Hamming <= 3 of the query's bucket) per table,
+    * tables, query-directed multi-probe per table ([[probeRadius]] bit
+    * flips restricted to the query's [[weakBits]] lowest-|dot| planes),
     * candidates unioned, then exact cosine top-k within them. The bucket
-    * id is the join key and the plane count
-    * grows with the corpus ([[numPlanes]]), so candidates/query stay
-    * ~`tables * C(p,<=3) * occupancy` ~ log^3(N) — flat bucket occupancy
-    * instead of a fixed 64-bucket space that degenerates to N/3 per
-    * query. The probe explosion is on the BOUNDED query side only (the
-    * corpus side emits exactly one bucket per table), so widening the
-    * probe radius costs probe-set size, never a corpus blowup. All four
-    * tables' buckets are computed in ONE pass over the corpus
-    * (checkpointed), not one scan per table.
+    * id is the join key and the plane count grows with the corpus
+    * ([[numPlanes]]), so bucket occupancy stays ~flat instead of a fixed
+    * 64-bucket space that degenerates to N/3 per query — and because the
+    * flips come from a FIXED-width weak-bit list, the probe budget is
+    * bounded (<= C(14,<=4) masks/table) no matter how large p grows.
+    * The probe explosion is on the BOUNDED query side only (the corpus
+    * side emits exactly one bucket per table), so probing costs probe-set
+    * size, never a corpus blowup. All four tables' buckets are computed
+    * in ONE pass over the corpus (checkpointed), not one scan per table.
     */
   def s2(s: SparkSession, dir: String): DataFrame =
     topkPerQuery(s2Scored(s, dir))
@@ -133,22 +162,35 @@ object Similarity {
     import s.implicits._
     val e0 = Tables.embeddings(s, dir)
     val p = numPlanes(e0.count())
+    val r = probeRadius(p)
+    val wb = weakBits(p)
     val e = e0.select(($"vec_id" +: $"embedding" +: (0 until NumTables).map(t =>
         bucketCol($"embedding", t, p).as(s"b$t"))): _*)
       .localCheckpoint(true)
-    val pairFlips = for { i <- 0 until p; j <- (i + 1) until p }
-      yield (1 << i) | (1 << j)
-    val tripleFlips = for { i <- 0 until p; j <- (i + 1) until p;
-      l <- (j + 1) until p } yield (1 << i) | (1 << j) | (1 << l)
-    // ONE array literal + a transform lambda, not C(p,<=3) XOR literal
-    // expressions: at p=30 that is ~4.5k masks x 4 tables, and a plan
-    // with ~18k literal nodes is slow to analyze and blows string dumps
-    val masks = typedLit((0 +: (0 until p).map(1 << _)) ++
-      pairFlips ++ tripleFlips)
+    // probe masks as POSITION SUBSETS into the query's weak-bit list —
+    // ONE array literal + transform lambdas, not C(wb,<=r) XOR literal
+    // expressions (a plan with thousands of literal nodes is slow to
+    // analyze and blows string dumps)
+    val subsets = typedLit(probeSubsets(wb, r))
+    val pow2 = typedLit((0 until p).map(1 << _))
     (0 until NumTables).map { t =>
+      // per-plane |dot| ranking on the BOUNDED query side only: the wb
+      // lowest-margin planes are this query's flip candidates
+      val dots = array(planeTable(t, p).map(w => dotCol($"q_emb", w)): _*)
+      val weak = transform(
+        slice(array_sort(transform(sequence(lit(0), lit(p - 1)),
+          i => struct(abs(element_at(dots, i + 1)).as("a"), i.as("i")))),
+          1, wb),
+        x => x.getField("i"))
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-          explode(transform(masks, m => col(s"b$t").bitwiseXOR(m))).as("probe"))
+          col(s"b$t").as("qb"))
+        .select($"query_id", $"q_emb", $"qb", weak.as("wk"))
+        .select($"query_id", $"q_emb",
+          explode(transform(subsets, sub => $"qb".bitwiseXOR(
+            aggregate(sub, lit(0), (acc, pos) => acc +
+              element_at(pow2, element_at($"wk", pos + lit(1)) + lit(1))))))
+            .as("probe"))
       val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
         col(s"b$t").as("n_bucket"))
       c.join(broadcast(q),
@@ -255,15 +297,20 @@ object Similarity {
     * candidate set is perfectly deterministic (md5-derived planes, exact
     * in-order dot products, tie-broken top-k) — so the DuckDB twin can
     * reproduce it bit-for-bit and s2 graduates from rows-only to a full
-    * hash match. "Candidate in some table's Hamming<=3 probe set" is one
-    * OR over the four tables' `bit_count(xor(q_bucket, c_bucket)) <= 3`
-    * conditions; the plane count is N-adaptive exactly like d5's oracle
-    * (integer CASE thresholds over all [[MaxPlanes]] emitted plane rows).
+    * hash match. "Candidate in some table's probe set" is one OR over
+    * the four tables' conditions `bit_count(xor(qb, cb)) <= radius AND
+    * the differing bits all lie in the query's weak-bit mask` — the
+    * set-membership form of the Spark side's flip enumeration (flipping
+    * <= r of the query's w weakest bits reaches exactly the buckets
+    * whose diff is <= r bits inside the weak mask). The plane count is
+    * N-adaptive exactly like d5's oracle (integer CASE thresholds over
+    * all [[MaxPlanes]] emitted plane rows); radius and weak width derive
+    * from it in SQL.
     */
   /** The WITH-prefix shared by [[s2Sql]] and [[s5Sql]]: plane tables,
-    * N-adaptive plane count, per-table buckets, and the `scored` CTE of
-    * exact cosines over the deterministic Hamming<=3 multi-probe
-    * candidate set.
+    * N-adaptive plane count, per-table buckets, per-query weak-bit
+    * masks, and the `scored` CTE of exact cosines over the deterministic
+    * query-directed multi-probe candidate set.
     */
   private val s2ScoredSql: String = {
     val caseArms = (6 until MaxPlanes)
@@ -288,15 +335,37 @@ object Similarity {
     val bktJoin = (0 until NumTables)
       .map(t => s"JOIN bkt$t v$t ON v$t.vec_id = e.vec_id")
       .mkString(" ")
+    // per-query weak-bit mask per table: the LEAST(np, MaxWeakBits)
+    // planes with the smallest (|dot|, plane-id) — same ranking the
+    // Spark side sorts by, as one window + sum(1<<p)
+    val wmCtes = (0 until NumTables).map { t =>
+      s"""wm$t AS (
+      SELECT vec_id, CAST(sum(CASE WHEN rnk <= (SELECT LEAST(np, $MaxWeakBits)
+          FROM np) THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS wm
+      FROM (SELECT e.vec_id, p.p,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY abs($dot), p.p) AS rnk
+        FROM embeddings e CROSS JOIN (SELECT planes$t.* FROM planes$t, np
+          WHERE planes$t.p < np.np) p
+        WHERE e.vec_id < $NumQueries)
+      GROUP BY vec_id)"""
+    }.mkString(",\n    ")
+    val radius = "(SELECT CASE WHEN np <= 10 THEN 3 ELSE 4 END FROM np)"
+    val notWeak = s"(SELECT (1::BIGINT << np) - 1 FROM np)"
     val anyTable = (0 until NumTables)
-      .map(t => s"bit_count(xor(q.b$t, c.b$t)) <= 3")
+      .map(t => s"""(bit_count(xor(q.b$t, c.b$t)) <= $radius
+        AND (xor(q.b$t, c.b$t) & ($notWeak - wm$t.wm)) = 0)""")
       .mkString(" OR ")
+    val wmJoin = (0 until NumTables)
+      .map(t => s"JOIN wm$t ON wm$t.vec_id = q.vec_id")
+      .mkString(" ")
     s"""
     WITH np AS (
       SELECT CASE $caseArms ELSE $MaxPlanes END AS np
       FROM (SELECT count(*) AS c FROM embeddings)),
     $planeCtes,
     $bktCtes,
+    $wmCtes,
     v AS (
       SELECT e.vec_id, e.embedding,
         ${(0 until NumTables).map(t => s"v$t.b AS b$t").mkString(", ")}
@@ -304,7 +373,8 @@ object Similarity {
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         round(${VecSql.cosine("q.embedding", "c.embedding", 64)}, 6) AS cos
-      FROM v q JOIN v c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
+      FROM v q $wmJoin
+        JOIN v c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
         AND ($anyTable))"""
   }
 

@@ -5,7 +5,9 @@ import graft.operators.Similarity
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val s = GraftSession.get("local[8]")
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    for (d <- dirs) {
       val truth = Similarity.s1(s, d).select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       for ((name, df) <- Seq("s2" -> Similarity.s2(s, d), "s3" -> Similarity.s3(s, d))) {
