@@ -568,7 +568,11 @@ object TextOps {
     * state forward instead of annihilating it; MATERIALIZED because
     * DuckDB inlines CTEs and each state feeds two consumers.
     */
-  val t16Sql: String = {
+  /** The t16 trainer loop as a WITH-body (tok/wf/v0 + one (pairs, best,
+    * state) CTE trio per round) — shared by [[t16Sql]] and [[t18Sql]],
+    * which applies the learned b1..bK merge CTEs to the corpus.
+    */
+  private val t16Ctes: String = {
     val a = "chr(1)"
     val b = "chr(2)"
     val sb = new StringBuilder
@@ -597,12 +601,13 @@ object TextOps {
         v.n
       FROM $prev v LEFT JOIN b$k b ON TRUE)"""
     }
-    sb ++= (1 to BpeMergeRounds)
-      .map(k => s"SELECT round, l, r, cnt FROM b$k")
-      .mkString("\n    SELECT round, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM (\n    ",
-        "\n    UNION ALL ", ")")
     sb.toString
   }
+
+  val t16Sql: String = t16Ctes + (1 to BpeMergeRounds)
+    .map(k => s"SELECT round, l, r, cnt FROM b$k")
+    .mkString("\n    SELECT round, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM (\n    ",
+      "\n    UNION ALL ", ")")
 
   /** Batch size (docs per training batch) for [[t17]]. */
   val EpochBatch = 32L
@@ -635,10 +640,125 @@ object TextOps {
       CAST((row_number() OVER w - 1) // $EpochBatch AS BIGINT) AS batch
     FROM k WINDOW w AS (PARTITION BY lang ORDER BY skey, doc_id)"""
 
+  /** t18: BPE ENCODE — apply [[t16]]'s learned merge table to the whole
+    * corpus (learn → ENCODE → pack → shuffle, the tokenizer story's
+    * missing middle): every document's tokens are re-encoded through the
+    * [[BpeMergeRounds]] merges in training order and the doc reports its
+    * char-symbol count, encoded-symbol count and compression ratio.
+    * Scale shape: merges are a bounded driver scalar (K rows — the
+    * s3-codebook discipline); encoding runs over the DISTINCT-word table
+    * (each word encoded once, then joined back to per-doc counts), so
+    * the per-row merge chain costs |vocab| × K, not |corpus| × K — the
+    * same dedup-the-work trick a production tokenizer's cache applies.
+    */
+  def t18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = t16(s, dir).orderBy($"round")
+      .select($"lhs", $"rhs").as[(String, String)].collect()
+    val wd = Tables.documents(s, dir)
+      .select($"doc_id", explode(Text.tokens($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .materialize // feeds both the distinct-word encode and the join back
+    val enc0 = wd.select($"w").distinct()
+      .withColumn("s", regexp_replace($"w", "(.)", SymA + "$1" + SymB))
+    val encoded = merges.foldLeft(enc0) { case (df, (l, r)) =>
+      df.withColumn("s", org.apache.spark.sql.functions.replace($"s",
+        lit(SymA + l + SymB + SymA + r + SymB), lit(SymA + l + r + SymB)))
+    }
+    val nsym = encoded.select($"w",
+      size(split(substring($"s", lit(2), length($"s") - 2), SymB + SymA))
+        .cast("long").as("ns"))
+    wd.join(nsym, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"c" * length($"w")).cast("long").as("n_chars"),
+        sum($"c" * $"ns").cast("long").as("n_syms"))
+      .withColumn("ratio", round($"n_chars" * lit(1.0) / $"n_syms", 6))
+  }
+
+  /** [[t18]]'s oracle: the t16 trainer CTEs (so DuckDB re-learns the
+    * identical b1..bK merge rows) + the same distinct-word encode chain
+    * joined back to per-doc token counts.
+    */
+  val t18Sql: String = {
+    val a = "chr(1)"
+    val b = "chr(2)"
+    val sb = new StringBuilder
+    sb ++= t16Ctes
+    sb ++= s""",
+    wd AS MATERIALIZED (SELECT doc_id, w, count(*) AS c FROM
+      (SELECT doc_id, unnest(${TextSql.toks}) AS w FROM documents)
+      GROUP BY doc_id, w),
+    e0 AS (SELECT w, regexp_replace(w, '(.)', $a || '\\1' || $b, 'g') AS s
+      FROM (SELECT DISTINCT w FROM wd))"""
+    for (k <- 1 to BpeMergeRounds) {
+      sb ++= s""",
+    e$k AS (SELECT e.w, CASE WHEN m.l IS NULL THEN e.s ELSE replace(e.s,
+        $a || m.l || $b || $a || m.r || $b, $a || m.l || m.r || $b) END AS s
+      FROM e${k - 1} e LEFT JOIN b$k m ON TRUE)"""
+    }
+    sb ++= s""",
+    ns AS (SELECT w, CAST(len(string_split(substr(s, 2, length(s)-2),
+        $b || $a)) AS BIGINT) AS ns FROM e$BpeMergeRounds)
+    SELECT wd.doc_id,
+      CAST(sum(wd.c * length(wd.w)) AS BIGINT) AS n_chars,
+      CAST(sum(wd.c * ns.ns) AS BIGINT) AS n_syms,
+      round(sum(wd.c * length(wd.w)) * 1.0 / sum(wd.c * ns.ns), 6) AS ratio
+    FROM wd JOIN ns ON wd.w = ns.w
+    GROUP BY wd.doc_id"""
+    sb.toString
+  }
+
+  /** Chunk capacity and stride (tokens) for [[t19]] — stride < capacity
+    * gives the overlap a retrieval/pretraining chunker keeps for context
+    * continuity across boundaries.
+    */
+  val ChunkTokens = 128L
+  val ChunkStride = 96L
+
+  /** t19: DOC CHUNKING — split each document's token stream into
+    * fixed-capacity windows every [[ChunkStride]] tokens (capacity
+    * [[ChunkTokens]], so consecutive chunks overlap by capacity−stride):
+    * the long-document splitting step feeding embedding/retrieval
+    * pipelines. Emits (doc_id, chunk_id, tok_start, chunk_len,
+    * chunk_md5 of the space-joined token slice). Pure per-row explode —
+    * no shuffle, no window; chunk count per doc = ⌊(n−1)/stride⌋+1.
+    */
+  def t19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .filter($"n" > 0)
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0L),
+          floor(($"n" - 1) / ChunkStride).cast("long"))).as("chunk_id"))
+      .withColumn("tok_start", $"chunk_id" * ChunkStride)
+      .withColumn("chunk_len", least($"n" - $"tok_start", lit(ChunkTokens)))
+      .select($"doc_id", $"chunk_id", $"tok_start", $"chunk_len",
+        md5(concat_ws(" ", slice($"toks", ($"tok_start" + 1).cast("int"),
+          $"chunk_len".cast("int")))).as("chunk_md5"))
+  }
+
+  val t19Sql: String = s"""
+    WITH d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM
+      (SELECT doc_id, ${TextSql.toks} AS toks FROM documents)
+      WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+      unnest(range(0, (n-1)//$ChunkStride + 1)) AS k FROM d)
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      CAST(k*$ChunkStride AS BIGINT) AS tok_start,
+      CAST(least(n - k*$ChunkStride, $ChunkTokens) AS BIGINT) AS chunk_len,
+      md5(array_to_string(list_slice(toks,
+        CAST(k*$ChunkStride + 1 AS INTEGER),
+        CAST(k*$ChunkStride + least(n - k*$ChunkStride, $ChunkTokens)
+          AS INTEGER)), ' ')) AS chunk_md5
+    FROM c"""
+
   val queries: Map[String, Q] = Map(
     "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
     "t15_sequence_packing" -> t15, "t16_bpe_merges" -> t16,
-    "t17_epoch_shuffle" -> t17,
+    "t17_epoch_shuffle" -> t17, "t18_bpe_encode" -> t18,
+    "t19_doc_chunking" -> t19,
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
     "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
@@ -647,7 +767,8 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
     "t15_sequence_packing" -> t15Sql, "t16_bpe_merges" -> t16Sql,
-    "t17_epoch_shuffle" -> t17Sql,
+    "t17_epoch_shuffle" -> t17Sql, "t18_bpe_encode" -> t18Sql,
+    "t19_doc_chunking" -> t19Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,

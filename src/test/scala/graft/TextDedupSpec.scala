@@ -298,4 +298,66 @@ class TextDedupSpec extends AnyFunSuite {
       val v = r.getDouble(i); v >= 0.0 && v <= 1.0
     }))
   }
+
+  test("t18 encode equals a sequential JVM-string BPE application") {
+    import s.implicits._
+    val (ca, cb) = ("\u0001", "\u0002")
+    val merges = TextOps.t16(s, d).orderBy(col("round"))
+      .select("lhs", "rhs").as[(String, String)].collect()
+    assert(merges.length == TextOps.BpeMergeRounds)
+    def encSyms(w: String): Long = {
+      var str = w.map(c => s"$ca$c$cb").mkString
+      merges.foreach { case (l, r) =>
+        str = str.replace(s"$ca$l$cb$ca$r$cb", s"$ca$l$r$cb")
+      }
+      str.count(_ == '\u0001').toLong
+    }
+    val docToks = sources.Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Text.tokens($"text").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val expect = docToks.map { case (id, toks) =>
+      id -> ((toks.map(_.length.toLong).sum, toks.map(encSyms).sum))
+    }.toMap
+    val got = TextOps.t18(s, d).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (id, nc, ns) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert((nc, ns) == expect(id), s"doc $id: ($nc,$ns) != ${expect(id)}")
+      assert(ns <= nc && ns >= 1)
+    }
+  }
+
+  test("t19 chunks tile every doc and hash the real token slices") {
+    import s.implicits._
+    val (cap, st) = (TextOps.ChunkTokens, TextOps.ChunkStride)
+    val docToks = sources.Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Text.tokens($"text").as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val rows = TextOps.t19(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docToks(id).length.toLong
+      assert(cs.length == ((n - 1) / st + 1).toInt, s"doc $id chunk count")
+      cs.sortBy(_._2).zipWithIndex.foreach { case ((_, k, start, len, h), i) =>
+        assert(k == i && start == k * st)
+        assert(len == math.min(cap, n - start) && len >= 1)
+        assert(h == md5hex(
+          docToks(id).slice(start.toInt, (start + len).toInt).mkString(" ")))
+      }
+    }
+    // every token position is covered by some chunk
+    docToks.foreach { case (id, toks) =>
+      if (toks.nonEmpty) {
+        val covered = rows.filter(_._1 == id)
+          .flatMap { case (_, _, start, len, _) => start until (start + len) }
+          .toSet
+        assert(covered == (0L until toks.length.toLong).toSet)
+      }
+    }
+  }
 }
