@@ -76,6 +76,14 @@ object Bench {
     // because the shapes are already codegen-warm.
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
       .toOption.filter(_ > 0).getOrElse(3)
+    // every query's localCheckpoint blocks are dropped AFTER its timing
+    // loop: without this, cached blocks accumulate across the ~35 timed
+    // queries and the late ones pay eviction + GC pressure that isn't
+    // theirs (measured at sf1: t15 benched 7.2 s in the polluted session
+    // vs 1.0 s isolated — same plan, same data). Blocks a query caches
+    // for itself DURING its reps are untouched.
+    def dropCachedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val results = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
@@ -92,6 +100,7 @@ object Bench {
               -1.0
           }
         }
+        dropCachedBlocks()
         val ok = times.filter(_ >= 0)
         name -> (if (ok.nonEmpty) ok.min else -1.0)
       }
@@ -132,6 +141,7 @@ object Bench {
               -1.0
           }
         }
+        dropCachedBlocks()
         val ok = times.filter(_ >= 0)
         name -> (if (ok.nonEmpty) ok.min else -1.0)
       }
