@@ -118,7 +118,7 @@ object Bench {
       "s4_knn_join", "s5_radius_search", "m7_paired_manifest",
       "h5_bucketed_join", "g10_stream_ingest_dedup", "a8_txn_multikey",
       "d12_dedup_rewrite", "t16_bpe_merges", "t17_epoch_shuffle",
-      "t18_bpe_encode", "t19_doc_chunking")
+      "t18_bpe_encode", "t19_doc_chunking", "s6_pq_ann")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -188,6 +188,8 @@ object Bench {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(operators.Similarity.s1(spark, sfDir))
+    val s6got = pairs(operators.Similarity.s6(spark, sfDir))
+    val s6recall = (truth & s6got).size.toDouble / truth.size
     val ann = Seq(
       ("s2", pairs(operators.Similarity.s2(spark, sfDir)),
         operators.Similarity.s2Scored(spark, sfDir).count()),
@@ -196,7 +198,8 @@ object Bench {
       .map { case (n, got, cands) =>
         val recall = (truth & got).size.toDouble / truth.size
         f""""${n}_recall":$recall%.3f,"${n}_candidates":$cands"""
-      }.mkString("{", ",", "}")
+      }.mkString("{", ",", ",") +
+      f""""s6_recall":$s6recall%.3f,"s6_rerank":${operators.Similarity.Rerank}}"""
     // scale probes: candidate-generation selectivity AND wall-time on
     // synthetic corpora big enough that a quadratic shape would show
     // (5.1k docs / 50.5k vectors — the ScaleProbeSpec corpora). Signature

