@@ -118,7 +118,8 @@ object Bench {
       "s4_knn_join", "s5_radius_search", "m7_paired_manifest",
       "h5_bucketed_join", "g10_stream_ingest_dedup", "a8_txn_multikey",
       "d12_dedup_rewrite", "t16_bpe_merges", "t17_epoch_shuffle",
-      "t18_bpe_encode", "t19_doc_chunking", "s6_pq_ann")
+      "t18_bpe_encode", "t19_doc_chunking", "s6_pq_ann",
+      "g11_stream_pq_encode")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -600,18 +600,46 @@ object Similarity {
   val PqIters = 2     // Lloyd refinement rounds (mirrors [[LloydIters]])
   val Rerank = 10 * TopK // ADC shortlist size fed to exact re-ranking
 
-  def s6(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, m, sub[SubDim]) — each vector split into its NumSub
+    * subvectors.
+    */
+  private def pqSubv(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(NumSub - 1)),
+          m => slice(col("emb"), m * lit(SubDim) + lit(1), lit(SubDim))))
+        .as(Seq("m", "sub")))
+
+  /** argmin centroid per (vec, subspace): broadcast the (NumSub×SubK,
+    * SubDim)-double codebook, ties to the lowest cid.
+    */
+  private def pqAssign(s: SparkSession, e: DataFrame,
+      cs: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    val cdf = cs.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
+    }.toSeq.toDF("m", "cid", "c_sub")
+    val subD2 = aggregate(
+      zip_with($"sub", $"c_sub", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    pqSubv(e).join(broadcast(cdf), Seq("m"))
+      .withColumn("d2", subD2)
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
+        first($"sub").as("sub"))
+  }
+
+  /** Learn the PQ codebook: checkpointed double-cast corpus + the joint
+    * Lloyd over (m, cid) — one grouped fixed-point mean per round
+    * refines all NumSub sub-quantizers in the same pass. Returns the
+    * corpus and the (NumSub × SubK × SubDim) codebook (driver-resident;
+    * 4 KiB of doubles).
+    */
+  private[graft] def pqTrain(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .localCheckpoint(true)
-    // (vec_id, m, sub[SubDim]) — each vector split into NumSub subvectors
-    val subv = e.select($"vec_id", posexplode(
-        transform(sequence(lit(0), lit(NumSub - 1)),
-          m => slice($"emb", m * lit(SubDim) + lit(1), lit(SubDim))))
-        .as(Seq("m", "sub")))
-      .localCheckpoint(true)
-
     // seeds: subvectors of the SubK lowest vec_ids (rank, not vec_id<k —
     // exact count even with sparse ids), per subspace
     var cents: Array[Array[Array[Double]]] = {
@@ -621,27 +649,8 @@ object Similarity {
         seed(c).slice(m * SubDim, (m + 1) * SubDim)
       }
     }
-
-    val subD2 = aggregate(
-      zip_with($"sub", $"c_sub", (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    // argmin centroid per (vec, subspace): broadcast the (NumSub×SubK,
-    // SubDim)-double codebook, ties to the lowest cid
-    def assign(cs: Array[Array[Array[Double]]]): DataFrame = {
-      val cdf = cs.zipWithIndex.flatMap { case (sub, m) =>
-        sub.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
-      }.toSeq.toDF("m", "cid", "c_sub")
-      subv.join(broadcast(cdf), Seq("m"))
-        .withColumn("d2", subD2)
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
-          first($"sub").as("sub"))
-    }
-
-    // joint Lloyd: one grouped fixed-point mean over (m, cid, dim) —
-    // all NumSub sub-quantizers refine in the same pass
     for (_ <- 0 until PqIters) {
-      val means = assign(cents)
+      val means = pqAssign(s, e, cents)
         .select($"m", $"cid", posexplode($"sub").as(Seq("dim", "x")))
         .groupBy($"m", $"cid", $"dim")
         .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
@@ -654,8 +663,36 @@ object Similarity {
       }
       cents = next
     }
+    (e, cents)
+  }
 
-    val codes = assign(cents).select($"vec_id", $"m", $"cid")
+  /** Stateless per-row PQ encode against a literal codebook: an
+    * expression-only argmin fold (ascending cid, strict `<` — ties keep
+    * the lowest cid, the same semantics as [[pqAssign]]'s min(struct)),
+    * usable in a streaming projection with no shuffle and no state.
+    * Returns the NumSub-element code array.
+    */
+  private[graft] def pqEncode(cs: Array[Array[Array[Double]]],
+      emb: Column): Column =
+    array((0 until NumSub).map { m =>
+      val sub = slice(emb, m * SubDim + 1, SubDim)
+      val cdl = typedlit(cs(m).map(_.toSeq).toSeq)
+      aggregate(sequence(lit(0), lit(SubK - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, cid) => {
+          val c = element_at(cdl, cid + 1)
+          val dd = aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x)
+          when(dd < acc.getField("d"),
+            struct(dd.as("d"), cid.cast("int").as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    }: _*)
+
+  def s6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (e, cents) = pqTrain(s, dir)
+    val codes = pqAssign(s, e, cents).select($"vec_id", $"m", $"cid")
     // ADC lookup table: bounded query set on the driver (the s3
     // discipline); each cell an exact integer of 1e-6 ticks
     val queries = e.filter($"vec_id" < NumQueries)
@@ -701,13 +738,16 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"cos", $"rnk")
   }
 
-  /** s6's oracle: the joint Lloyd unrolled CTE-per-round over (m, cid)
-    * keys — s3Sql's triples with the subspace folded into every join —
-    * then the integer-exact ADC scan and tie-broken top-k.
+  private def pqD2Sql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The WITH-chain both [[s6Sql]] and `g11`'s oracle share: the joint
+    * Lloyd unrolled CTE-per-round over (m, cid) keys — s3Sql's triples
+    * with the subspace folded into every join — ending at the final
+    * assignment `pa{PqIters}` (= every vector's PQ codes).
     */
-  val s6Sql: String = {
-    def d2(a: String, b: String) =
-      s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  private[graft] val pqCodesSqlPrefix: String = {
+    def d2(a: String, b: String) = pqD2Sql(a, b)
     def assignCte(name: String, cents: String) = s"""
     $name AS (
       SELECT vec_id, m, sub, cid FROM (
@@ -749,7 +789,16 @@ object Similarity {
       JOIN subv s ON s.vec_id = seeds.vec_id
       WHERE seeds.rn <= $SubK),
     $iters,
-    ${assignCte(s"pa$f", s"pc$f").trim},
+    ${assignCte(s"pa$f", s"pc$f").trim}"""
+  }
+
+  /** s6's oracle: [[pqCodesSqlPrefix]]'s codes, then the integer-exact
+    * ADC scan, shortlist and exact re-rank.
+    */
+  val s6Sql: String = {
+    def d2(a: String, b: String) = pqD2Sql(a, b)
+    val f = PqIters
+    s"""$pqCodesSqlPrefix,
     lut AS (
       SELECT q.vec_id AS query_id, c.m, c.cid,
         CAST(floor(${d2("q.sub", "c.c")} * 1e6) AS BIGINT) AS ticks

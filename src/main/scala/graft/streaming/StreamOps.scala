@@ -381,8 +381,42 @@ object StreamOps {
     */
   val g10Sql: String = graft.operators.Dedup.d9Sql
 
+  /** g11: streaming PQ ENCODE — the ingest half of the s6 index (the
+    * s6↔g11 pairing mirrors d9↔g10): the codebook is learned once on the
+    * static corpus ([[graft.operators.Similarity.pqTrain]]), then
+    * arriving vectors are encoded STATELESSLY — a single expression-only
+    * argmin fold against the broadcast-literal codebook
+    * ([[graft.operators.Similarity.pqEncode]]), so the streaming plan is
+    * a pure projection: no shuffle, no state store, per-batch cost
+    * exactly batch-size × codebook-size. That is the steady-state 100 TB
+    * ingest shape — new embeddings join the compressed index at wire
+    * speed while the corpus-side scan keeps reading only 16-bit codes.
+    *
+    * Output = every vector's (m, cid) codes, byte-equal to the batch
+    * assignment: the oracle replays the rank-based argmin
+    * ([[graft.operators.Similarity.pqCodesSqlPrefix]]), so a hash match
+    * also proves the fold-expression argmin ≡ the join+rank argmin.
+    */
+  def g11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val (e, cents) = Similarity.pqTrain(s, dir)
+    StreamRunner.runFiles(s,
+        Seq(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1))) {
+      df =>
+        df.select(col("vec_id"),
+          posexplode(Similarity.pqEncode(cents, col("emb"))))
+          .toDF("vec_id", "m", "cid")
+    }
+  }
+
+  val g11Sql: String = s"""${graft.operators.Similarity.pqCodesSqlPrefix}
+    SELECT vec_id, CAST(m AS INTEGER) AS m, cid
+    FROM pa${graft.operators.Similarity.PqIters}"""
+
   val queries: Map[String, Q] = Map(
     "g9_stream_topk" -> g9, "g10_stream_ingest_dedup" -> g10,
+    "g11_stream_pq_encode" -> g11,
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
     "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4,
     "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6,
@@ -390,6 +424,7 @@ object StreamOps {
 
   val oracles: Map[String, String] = Map(
     "g9_stream_topk" -> g9Sql, "g10_stream_ingest_dedup" -> g10Sql,
+    "g11_stream_pq_encode" -> g11Sql,
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
     "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql,
     "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql,

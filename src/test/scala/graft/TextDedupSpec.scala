@@ -294,6 +294,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("g11 streaming PQ encode equals the stateless batch encode") {
+    val (e, cents) = Similarity.pqTrain(s, d)
+    val batch = e.select(col("vec_id"),
+        posexplode(Similarity.pqEncode(cents, col("emb"))))
+      .toDF("vec_id", "m", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val got = streaming.StreamOps.g11(s, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == batch && got.size == e.count() * Similarity.NumSub)
+  }
+
   // raw 16-bit ADC ranks alone measure ~0.28 recall here — the re-rank
   // stage is what buys the rest (shortlist 4×TopK, then exact cosine)
   test("s6 PQ + exact re-rank reaches recall >= 0.7 vs brute force") {
