@@ -200,7 +200,9 @@ object Bench {
         val recall = (truth & got).size.toDouble / truth.size
         f""""${n}_recall":$recall%.3f,"${n}_candidates":$cands"""
       }.mkString("{", ",", ",") +
-      f""""s6_recall":$s6recall%.3f,"s6_rerank":${operators.Similarity.Rerank}}"""
+      f""""s6_recall":$s6recall%.3f,"s6_rerank":${
+        operators.Similarity.rerankDepth(
+          sources.Tables.embeddings(spark, sfDir).count())}}"""
     // scale probes: candidate-generation selectivity AND wall-time on
     // synthetic corpora big enough that a quadratic shape would show
     // (5.1k docs / 50.5k vectors — the ScaleProbeSpec corpora). Signature

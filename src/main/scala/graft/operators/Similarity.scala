@@ -588,17 +588,24 @@ object Similarity {
     * the scan is one broadcast-hash join + map-side-partial SUM, no
     * shuffle of raw embeddings anywhere past the one-time encode. The
     * final stage is IVFADC-R's exact re-rank: the ADC ranks pick a
-    * [[Rerank]]-deep shortlist per query, and only those raw vectors
-    * are fetched for exact cosine — bounded in the query count, which
-    * lifts measured recall from 0.28 (raw 16-bit codes) to ~1.0 while
-    * the corpus-wide scan still only ever touches the 160×-compressed
-    * code table.
+    * [[rerankDepth]]-deep shortlist per query (2% of the corpus), and
+    * only those raw vectors are fetched for exact cosine — a 50×
+    * reduction in exact-distance work that keeps recall stable as N
+    * grows, while the corpus-wide scan still only ever touches the
+    * 64×-compressed code table.
     */
-  val NumSub = 4      // subspaces
+  val NumSub = 8      // subspaces
   val SubDim = Dim / NumSub
-  val SubK = 16       // centroids per subspace -> 4-bit codes
+  val SubK = 32       // centroids per subspace -> 5-bit codes
   val PqIters = 2     // Lloyd refinement rounds (mirrors [[LloydIters]])
-  val Rerank = 10 * TopK // ADC shortlist size fed to exact re-ranking
+  /** ADC shortlist depth fed to exact re-ranking: max(100, N/50) — 2% of
+    * the corpus, so recall holds as N grows (tight-margin neighbors need
+    * a deeper shortlist to survive quantization noise) while the exact
+    * re-rank stays a 50× reduction over brute force and the corpus-wide
+    * scan still reads only codes. Integer floor-division on both engines
+    * (`//` in DuckDB), so the oracle derives the identical depth.
+    */
+  def rerankDepth(n: Long): Int = math.max(100, (n / 50).toInt)
 
   /** (vec_id, m, sub[SubDim]) — each vector split into its NumSub
     * subvectors.
@@ -716,13 +723,13 @@ object Similarity {
       .groupBy($"query_id", $"vec_id")
       .agg(sum($"ticks").as("adist_ticks"))
     // ADC shortlist (integer-exact ranks), then EXACT re-rank: only the
-    // Rerank shortlisted raw vectors per query are ever fetched — the
-    // IVFADC-R shape, so the exact-distance work is bounded in the query
-    // count no matter the corpus size
+    // rerankDepth(N) shortlisted raw vectors per query are ever fetched —
+    // the IVFADC-R shape, so the exact-distance work per query is 2% of
+    // the corpus while the corpus-wide scan reads only codes
     val wAdc = Window.partitionBy($"query_id")
       .orderBy($"adist_ticks".asc, $"vec_id")
     val shortlist = scored.withColumn("srn", row_number().over(wAdc))
-      .filter($"srn" <= Rerank)
+      .filter($"srn" <= rerankDepth(e.count()))
       .select($"query_id", $"vec_id".as("neighbor_id"))
     val qEmb = queries.toSeq.map { case (qid, qe) => (qid, qe.toSeq) }
       .toDF("query_id", "q_emb")
@@ -810,13 +817,15 @@ object Similarity {
       FROM pa$f k JOIN lut l ON l.m = k.m AND l.cid = k.cid
       WHERE l.query_id <> k.vec_id
       GROUP BY l.query_id, k.vec_id),
+    rr AS (
+      SELECT greatest(100, count(*) // 50) AS rr FROM embeddings),
     shortl AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
           row_number() OVER (PARTITION BY query_id
             ORDER BY adist_ticks, neighbor_id) AS srn
-        FROM scored) z
-      WHERE srn <= $Rerank),
+        FROM scored) z, rr
+      WHERE srn <= rr.rr),
     rer AS (
       SELECT sl.query_id, sl.neighbor_id,
         round(${VecSql.cosine("q.emb", "n.emb", Dim)}, 6) AS cos

@@ -280,7 +280,7 @@ class TextDedupSpec extends AnyFunSuite {
           (vecs(v)._1, ticks)
         }
         .sortBy { case (nid, t) => (t, nid) }
-        .take(Similarity.Rerank)
+        .take(Similarity.rerankDepth(vecs.length.toLong))
       shortlist
         .map { case (nid, _) => (nid, round6(cosine(qe, byId(nid)))) }
         .sortBy { case (nid, cos) => (-cos, nid) }
