@@ -617,9 +617,11 @@ object Similarity {
         .as(Seq("m", "sub")))
 
   /** argmin centroid per (vec, subspace): broadcast the (NumSub×SubK,
-    * SubDim)-double codebook, ties to the lowest cid.
+    * SubDim)-double codebook, ties to the lowest cid. `subv` should be
+    * checkpointed by the caller — it is scanned once per Lloyd round
+    * plus once for the final encode.
     */
-  private def pqAssign(s: SparkSession, e: DataFrame,
+  private def pqAssign(s: SparkSession, subv: DataFrame,
       cs: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
     val cdf = cs.zipWithIndex.flatMap { case (sub, m) =>
@@ -628,7 +630,7 @@ object Similarity {
     val subD2 = aggregate(
       zip_with($"sub", $"c_sub", (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
-    pqSubv(e).join(broadcast(cdf), Seq("m"))
+    subv.join(broadcast(cdf), Seq("m"))
       .withColumn("d2", subD2)
       .groupBy($"vec_id", $"m")
       .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
@@ -638,15 +640,17 @@ object Similarity {
   /** Learn the PQ codebook: checkpointed double-cast corpus + the joint
     * Lloyd over (m, cid) — one grouped fixed-point mean per round
     * refines all NumSub sub-quantizers in the same pass. Returns the
-    * corpus and the (NumSub × SubK × SubDim) codebook (driver-resident;
-    * 4 KiB of doubles).
+    * corpus, the checkpointed subvector table (reused by the final
+    * encode) and the (NumSub × SubK × SubDim) codebook (driver-resident;
+    * ~16 KiB of doubles).
     */
   private[graft] def pqTrain(s: SparkSession, dir: String)
-      : (DataFrame, Array[Array[Array[Double]]]) = {
+      : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .localCheckpoint(true)
+    val subv = pqSubv(e).localCheckpoint(true)
     // seeds: subvectors of the SubK lowest vec_ids (rank, not vec_id<k —
     // exact count even with sparse ids), per subspace
     var cents: Array[Array[Array[Double]]] = {
@@ -657,7 +661,7 @@ object Similarity {
       }
     }
     for (_ <- 0 until PqIters) {
-      val means = pqAssign(s, e, cents)
+      val means = pqAssign(s, subv, cents)
         .select($"m", $"cid", posexplode($"sub").as(Seq("dim", "x")))
         .groupBy($"m", $"cid", $"dim")
         .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
@@ -670,7 +674,7 @@ object Similarity {
       }
       cents = next
     }
-    (e, cents)
+    (e, subv, cents)
   }
 
   /** Stateless per-row PQ encode against a literal codebook: an
@@ -698,8 +702,8 @@ object Similarity {
 
   def s6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (e, cents) = pqTrain(s, dir)
-    val codes = pqAssign(s, e, cents).select($"vec_id", $"m", $"cid")
+    val (e, subv, cents) = pqTrain(s, dir)
+    val codes = pqAssign(s, subv, cents).select($"vec_id", $"m", $"cid")
     // ADC lookup table: bounded query set on the driver (the s3
     // discipline); each cell an exact integer of 1e-6 ticks
     val queries = e.filter($"vec_id" < NumQueries)

@@ -400,7 +400,7 @@ object StreamOps {
   def g11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.Similarity
-    val (e, cents) = Similarity.pqTrain(s, dir)
+    val (e, _, cents) = Similarity.pqTrain(s, dir)
     StreamRunner.runFiles(s,
         Seq(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1))) {
       df =>
