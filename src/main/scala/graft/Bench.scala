@@ -119,7 +119,8 @@ object Bench {
       "h5_bucketed_join", "g10_stream_ingest_dedup", "a8_txn_multikey",
       "d12_dedup_rewrite", "t16_bpe_merges", "t17_epoch_shuffle",
       "t18_bpe_encode", "t19_doc_chunking", "s6_pq_ann",
-      "g11_stream_pq_encode")
+      "g11_stream_pq_encode", "d13_span_dedup", "t20_mixture_sample",
+      "h6_merge_upsert", "g12_stream_upsert", "a13_log_compaction")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -759,12 +759,110 @@ object Dedup {
           ELSE '' END)) AS cleaned_md5
     FROM base b LEFT JOIN kept k USING (doc_id)"""
 
+  /** d13: SPAN-level exact substring dedup — the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" (ACL'22) shape, which
+    * [[d7]]'s non-overlapping segments can only approximate: every
+    * OVERLAPPING [[SegTokens]]-token window (stride 1) is hashed; a window
+    * whose hash occurs >= 2 times anywhere in the corpus (cross-doc OR
+    * within-doc) marks its tokens as duplicated text, and per document the
+    * covered positions merge into maximal duplicated SPANS (two windows
+    * merge iff their coverage overlaps or touches, i.e. start gap <=
+    * [[SegTokens]] — every consecutive pair inside an island then overlaps
+    * or abuts, so the union is one contiguous interval of
+    * `max_p - min_p + SegTokens` tokens). Emits per doc: span count,
+    * duplicated-token count, longest span and duplicated fraction — the
+    * signal the pipeline thresholds to drop or trim documents.
+    *
+    * Scale shape: one tokenize scan (~ntok windows/doc, 8× d7's hash work,
+    * still linear), one hash-groupBy for the occurrence counts, one
+    * equi-join back on the window hash, and the island merge windows
+    * partition by doc_id (high-cardinality) — no all-pairs, no global
+    * sort, the suffix-array result computed with pure data-parallel ops.
+    */
+  def d13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = SegTokens
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", size($"toks").cast("long").as("ntok"),
+        when(size($"toks") >= k,
+          transform(sequence(lit(0), size($"toks") - k),
+            i => md5(concat_ws(" ", slice($"toks", i + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")).as("whs"))
+      // feeds the window explode AND the final per-doc join — one scan
+      .localCheckpoint(false)
+    val wins = base.select($"doc_id", posexplode($"whs"))
+      .toDF("doc_id", "p", "wh")
+      .localCheckpoint(false)
+    val dupHash = wins.groupBy($"wh")
+      .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"wh")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    val isl = wins.join(dupHash, "wh")
+      .select($"doc_id", $"p")
+      .withColumn("gap",
+        when(lag($"p", 1).over(w).isNull ||
+          $"p" - lag($"p", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum($"gap").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy($"doc_id", $"island")
+      .agg((max($"p") - min($"p") + k).as("span_len"))
+    val perDoc = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum($"span_len").cast("long").as("dup_tokens"),
+        max($"span_len").cast("long").as("max_span"))
+    base.select($"doc_id", $"ntok")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"ntok",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        coalesce($"max_span", lit(0L)).as("max_span"),
+        when($"ntok" > 0,
+          round(coalesce($"dup_tokens", lit(0L)) * lit(1.0) / $"ntok", 6))
+          .otherwise(0.0).as("dup_frac"))
+  }
+
+  val d13Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    base AS MATERIALIZED (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok, toks FROM tok),
+    win AS MATERIALIZED (
+      SELECT doc_id, u.p, u.wh FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(0, CAST(greatest(ntok - $SegTokens + 1, 0) AS INT)),
+          i -> struct_pack(p := i, wh := md5(array_to_string(
+            toks[i+1 : i+$SegTokens], ' '))))) AS u
+        FROM base)),
+    dup AS (SELECT doc_id, p FROM win WHERE wh IN (
+      SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2)),
+    isl AS (SELECT doc_id, p,
+      CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > $SegTokens
+        THEN 1 ELSE 0 END AS gap
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    isl2 AS (SELECT doc_id, p, sum(gap) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+    sp AS (SELECT doc_id, island, max(p) - min(p) + $SegTokens AS span_len
+      FROM isl2 GROUP BY doc_id, island),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+      CAST(max(span_len) AS BIGINT) AS max_span
+      FROM sp GROUP BY doc_id)
+    SELECT b.doc_id, b.ntok,
+      CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      CAST(COALESCE(pd.max_span, 0) AS BIGINT) AS max_span,
+      CASE WHEN b.ntok > 0
+        THEN round(COALESCE(pd.dup_tokens, 0) * 1.0 / b.ntok, 6)
+        ELSE 0.0 END AS dup_frac
+    FROM base b LEFT JOIN pd USING (doc_id)"""
+
   val queries: QM = Map(
     "d8_decontamination" -> d8, "d9_incremental_dedup" -> d9,
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
     "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6,
     "d7_segment_dedup" -> d7, "d10_canonical_pick" -> d10,
-    "d11_semantic_dedup" -> d11, "d12_dedup_rewrite" -> d12)
+    "d11_semantic_dedup" -> d11, "d12_dedup_rewrite" -> d12,
+    "d13_span_dedup" -> d13)
 
   val oracles: Map[String, String] = Map(
     "d8_decontamination" -> d8Sql, "d9_incremental_dedup" -> d9Sql,
@@ -772,5 +870,6 @@ object Dedup {
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,
     "d5_embedding_neardup" -> d5Sql, "d6_dedup_groups" -> d6Sql,
     "d7_segment_dedup" -> d7Sql, "d10_canonical_pick" -> d10Sql,
-    "d11_semantic_dedup" -> d11Sql, "d12_dedup_rewrite" -> d12Sql)
+    "d11_semantic_dedup" -> d11Sql, "d12_dedup_rewrite" -> d12Sql,
+    "d13_span_dedup" -> d13Sql)
 }

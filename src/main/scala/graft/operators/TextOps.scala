@@ -754,11 +754,62 @@ object TextOps {
           AS INTEGER)), ' ')) AS chunk_md5
     FROM c"""
 
+  /** t20: token-budgeted MIXTURE RESAMPLING — the data-mixture step before
+    * pretraining: given a target language mixture (uniform here) and a
+    * global token budget of half the corpus, compute each language's keep
+    * rate `min(1, budget·share / lang_tokens)` and sample documents to it
+    * deterministically. The rate is carried as an exact integer threshold
+    * over the 32-bit md5-prefix space ([[Relational.q37]]'s discipline —
+    * `thr = (B·2^32) div (L·T_l)`, all BIGINT floor arithmetic, so both
+    * engines derive the identical threshold from the corpus stats), and a
+    * doc survives iff `u32(md5('mix'‖doc_id)) < thr(lang)`. One linear
+    * tokenize scan, one L-row aggregate, one broadcast rate join — the
+    * whole corpus-rebalancing decision is a pure per-row predicate, and
+    * over-represented languages are downsampled toward the uniform share
+    * while languages under their share keep everything (rate caps at 1).
+    * At true 100 TB token counts the `B·2^32` product would move to
+    * DECIMAL(38) arithmetic; at any testable SF 64-bit is exact.
+    */
+  def t20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(Text.tokens($"text")).cast("long").as("n_tokens"))
+      .localCheckpoint(false)
+    val perLang = toks.groupBy($"lang").agg(sum($"n_tokens").as("t_l"))
+    val tot = perLang.agg(sum($"t_l").as("t"),
+      count(lit(1)).cast("long").as("l"))
+    val rates = perLang.crossJoin(broadcast(tot))
+      .select($"lang", expr(
+        "least(CAST(4294967296 AS BIGINT), " +
+          "((t DIV 2) * 4294967296) DIV (l * greatest(t_l, 1)))").as("thr"))
+    val frac = conv(
+      substring(md5(concat(lit("mix"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long")
+    toks.join(broadcast(rates), "lang")
+      .select($"doc_id", $"lang", $"n_tokens", (frac < $"thr").as("keep"))
+  }
+
+  val t20Sql: String = s"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, CAST(len(${TextSql.toks}) AS BIGINT) AS n_tokens
+      FROM documents),
+    pl AS (SELECT lang, sum(n_tokens) AS t_l FROM toks GROUP BY lang),
+    tot AS (SELECT sum(t_l) AS t, CAST(count(*) AS BIGINT) AS l FROM pl),
+    rates AS (SELECT lang,
+      least(CAST(4294967296 AS BIGINT),
+        ((t // 2) * 4294967296) // (l * greatest(t_l, 1))) AS thr
+      FROM pl CROSS JOIN tot)
+    SELECT toks.doc_id, toks.lang, toks.n_tokens,
+      CAST(('0x' || substring(md5('mix' || CAST(toks.doc_id AS VARCHAR)), 1, 8))
+        AS UBIGINT) < thr AS keep
+    FROM toks JOIN rates USING (lang)"""
+
   val queries: Map[String, Q] = Map(
     "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
     "t15_sequence_packing" -> t15, "t16_bpe_merges" -> t16,
     "t17_epoch_shuffle" -> t17, "t18_bpe_encode" -> t18,
-    "t19_doc_chunking" -> t19,
+    "t19_doc_chunking" -> t19, "t20_mixture_sample" -> t20,
     "t1_token_count" -> t1, "t2_quality_score" -> t2, "t3_lang_id" -> t3,
     "t4_fingerprint" -> t4, "t5_shingles" -> t5, "t6_word_freq" -> t6,
     "t7_bpe_tokens" -> t7, "t8_tfidf" -> t8, "t9_train_split" -> t9,
@@ -768,7 +819,7 @@ object TextOps {
     "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
     "t15_sequence_packing" -> t15Sql, "t16_bpe_merges" -> t16Sql,
     "t17_epoch_shuffle" -> t17Sql, "t18_bpe_encode" -> t18Sql,
-    "t19_doc_chunking" -> t19Sql,
+    "t19_doc_chunking" -> t19Sql, "t20_mixture_sample" -> t20Sql,
     "t1_token_count" -> t1Sql, "t2_quality_score" -> t2Sql,
     "t3_lang_id" -> t3Sql, "t4_fingerprint" -> t4Sql,
     "t5_shingles" -> t5Sql, "t6_word_freq" -> t6Sql,

@@ -455,7 +455,51 @@ object TxnQueries {
       FROM upd)
     SELECT key, val AS value FROM sel WHERE rd = 1 AND val IS NOT NULL"""
 
+  /** a13: CHANGELOG COMPACTION — the storage-maintenance op the
+    * reference's deployment substrate runs on its topics (the Kafka
+    * key-value topics of reference core package.scala:61-62 are
+    * log-compacted: only each key's latest record per closed segment
+    * survives): the blind changelog (key = user bucket, tombstone when
+    * v ≡ 0 mod 5 — a1's value discipline keyed by event time) is cut
+    * into hour segments, and each (segment, key) keeps only its last
+    * write by the deterministic (ts, event_id) order — tombstones
+    * retained, exactly Kafka's compaction-with-retention semantics. One
+    * window over the high-cardinality (segment, key) pair — linear, one
+    * exchange, no state: compaction is embarrassingly parallel across
+    * segments, which is why it scales to unbounded retention.
+    */
+  def a13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"seg", $"key")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .select(date_trunc("hour", $"ts").as("seg"),
+        concat(lit("k"), ($"user_id" % Buckets).cast("string")).as("key"),
+        floor($"value" * 100).cast("long").as("v"), $"ts", $"event_id")
+      .withColumn("value",
+        when($"v" % 5 === 0, lit(null).cast("string"))
+          .otherwise($"v".cast("string")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"seg".as("seg_start"), $"key", $"value",
+        $"event_id".as("last_event_id"))
+  }
+
+  val a13Sql: String = s"""
+    WITH log AS (
+      SELECT date_trunc('hour', ts) AS seg,
+        'k' || CAST(user_id % $Buckets AS VARCHAR) AS key,
+        CASE WHEN CAST(floor(value * 100) AS BIGINT) % 5 = 0 THEN NULL
+          ELSE CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) END AS value,
+        ts, event_id
+      FROM events)
+    SELECT seg AS seg_start, key, value, event_id AS last_event_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY seg, key
+        ORDER BY ts DESC, event_id DESC) AS rn FROM log) z
+    WHERE rn = 1"""
+
   val queries: Map[String, Q] = Map(
+    "a13_log_compaction" -> a13,
     "a12_stream_file_multikey" -> a12,
     "a11_heartbeat_agg" -> a11,
     "a1_txn_blind_state" -> a1, "a2_txn_blind_results" -> a2,
@@ -470,5 +514,6 @@ object TxnQueries {
     "a5_stream_txn_kv" -> a5Sql, "a6_event_time_sort" -> a6Sql,
     "a7_stream_watermark_agg" -> a7Sql, "a8_txn_multikey" -> a8Sql,
     "a9_stream_txn_multikey" -> a8Sql, "a10_stream_file_txn" -> a1Sql,
-    "a11_heartbeat_agg" -> a7Sql, "a12_stream_file_multikey" -> a12Sql)
+    "a11_heartbeat_agg" -> a7Sql, "a12_stream_file_multikey" -> a12Sql,
+    "a13_log_compaction" -> a13Sql)
 }

@@ -127,13 +127,117 @@ object Roundtrip {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus"""
 
+  /** The CDC workload shared by [[h6]] and its streaming twin
+    * (`StreamOps.g12`): the maintained table is orders minus the
+    * soon-to-arrive inserts, and the change log carries three op classes
+    * over modular key sets — inserts (`I`, keys ≡ 0 mod 10, genuinely new
+    * by construction, the contract a database CDC feed provides), updates
+    * (`U`, keys ≡ 0 mod 7 already in the table: repriced +100 and
+    * restatused), and later deletes (`D`, keys ≡ 0 mod 9, seq 2 — so a
+    * key inserted or updated then deleted must end absent).
+    */
+  private[graft] def cdcBase(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+  }
+
+  private[graft] def cdcDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(s, dir)
+    val ins = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), lit("I").as("op"), lit(1).as("seq"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"),
+        lit("X").as("o_orderstatus"), lit("U").as("op"), lit(1).as("seq"))
+    val del = o.filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit("D").as("op"), lit(2).as("seq"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  /** Apply one key-resolved CDC batch (at most one op per key) to the
+    * current table: `D` drops the row, `U` replaces its values, `I`
+    * appends a new key. The delta is BROADCAST into both the outer join
+    * and the append — the maintained table itself never shuffles, which
+    * is the whole point of MERGE at 100 TB (the big side is touched once,
+    * in place of partitioning).
+    */
+  private[graft] def applyCdc(cur: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = broadcast(delta.select(col("o_orderkey"),
+      col("o_custkey").as("d_custkey"),
+      col("o_totalprice").as("d_totalprice"),
+      col("o_orderstatus").as("d_orderstatus"), col("op")))
+    val existing = cur.join(d, Seq("o_orderkey"), "left_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("op") === "U", col("d_custkey"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("op") === "U", col("d_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("op") === "U", col("d_orderstatus"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+    existing.unionByName(delta.filter(col("op") === "I")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+  }
+
+  /** h6: MERGE / upsert table maintenance — the incremental-maintenance
+    * op every warehouse pipeline runs between full rebuilds: a CDC change
+    * log (inserts / updates / deletes with sequence numbers) merges into
+    * the maintained table with last-op-per-key-wins semantics. The
+    * last-op resolution windows over the (small) change log only; the
+    * merge itself is [[applyCdc]]'s broadcast shape, so the maintained
+    * table is read once and never shuffled.
+    */
+  def h6(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+    val latest = cdcDelta(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    applyCdc(cdcBase(s, dir), latest)
+  }
+
+  val h6Sql: String = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    delta AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        'I' AS op, 1 AS seq FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0, 'X', 'U', 1
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        CAST(NULL AS VARCHAR), 'D', 2 FROM orders WHERE o_orderkey % 9 = 0),
+    latest AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        ORDER BY seq DESC) AS rn FROM delta) z WHERE rn = 1)
+    SELECT b.o_orderkey,
+      CASE WHEN l.op = 'U' THEN l.o_custkey ELSE b.o_custkey END AS o_custkey,
+      CASE WHEN l.op = 'U' THEN l.o_totalprice ELSE b.o_totalprice END
+        AS o_totalprice,
+      CASE WHEN l.op = 'U' THEN l.o_orderstatus ELSE b.o_orderstatus END
+        AS o_orderstatus
+    FROM base b LEFT JOIN latest l USING (o_orderkey)
+    WHERE l.op IS NULL OR l.op <> 'D'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM latest WHERE op = 'I'"""
+
   val queries: Map[String, Q] = Map(
     "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
     "h3_orc_roundtrip" -> h3, "h4_partitioned_prune" -> h4,
-    "h5_bucketed_join" -> h5)
+    "h5_bucketed_join" -> h5, "h6_merge_upsert" -> h6)
 
   val oracles: Map[String, String] = Map(
     "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
     "h3_orc_roundtrip" -> h3Sql, "h4_partitioned_prune" -> h4Sql,
-    "h5_bucketed_join" -> h5Sql)
+    "h5_bucketed_join" -> h5Sql, "h6_merge_upsert" -> h6Sql)
 }

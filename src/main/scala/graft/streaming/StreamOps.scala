@@ -414,9 +414,66 @@ object StreamOps {
     SELECT vec_id, CAST(m AS INTEGER) AS m, cid
     FROM pa${graft.operators.Similarity.PqIters}"""
 
+  /** Hash-bucket count for [[g12]]'s maintained table layout. */
+  private val UpsertBuckets = 16
+
+  /** g12: STREAMING upsert — the continuous form of batch h6 and the
+    * table-maintenance twin of the d9↔g10 / s6↔g11 pairings: the
+    * maintained table lives as parquet hash-partitioned on
+    * `o_orderkey % `[[UpsertBuckets]], and each arriving CDC micro-batch
+    * (seq-1 inserts+updates, then seq-2 deletes) merges via foreachBatch —
+    * read ONLY the partitions whose buckets the batch touches (a bounded
+    * `isin` on the partition column → partition pruning; the touched
+    * bucket ids are the only scalars that reach the driver), apply
+    * [[graft.sources.Roundtrip.applyCdc]]'s broadcast merge, and rewrite
+    * just those partitions with DYNAMIC partition overwrite. Per-batch
+    * cost = batch size + touched-partition size — the steady-state shape
+    * of a streaming MERGE at 100 TB, where a batch touching 0.1% of
+    * buckets reads and rewrites 0.1% of the table. (A transactional table
+    * format adds atomic commit and empty-partition replacement on top;
+    * the merge plan underneath is exactly this one.) The final table must
+    * equal batch h6's — sequential per-batch application ≡ last-op-wins.
+    */
+  def g12(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Roundtrip
+    val bucketOf = pmod(col("o_orderkey"), lit(UpsertBuckets)).cast("int")
+    val out = StreamRunner.stagingRoot(s, "g12_")
+    Roundtrip.cdcBase(s, dir).withColumn("bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    val delta = Roundtrip.cdcDelta(s, dir)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      StreamRunner.runForeachFiles(s,
+          Seq(delta.filter(col("seq") === 1),
+            delta.filter(col("seq") === 2))) { (batch, _) =>
+        val d = batch.localCheckpoint(true)
+        val touched = d.select(bucketOf.as("bucket")).distinct()
+          .collect().map(_.getInt(0)) // bounded: <= UpsertBuckets ids
+        val cur = s.read.parquet(out)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        // materialize the merged partitions BEFORE the overwrite deletes
+        // the files the plan would lazily re-read
+        val merged = Roundtrip.applyCdc(cur.drop("bucket"), d)
+          .withColumn("bucket", bucketOf).localCheckpoint(true)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
+      }
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(out)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+  }
+
+  /** Sequential application of the seq-ordered CDC batches ≡ the batch
+    * MERGE's last-op-per-key resolution, so the oracle is h6's.
+    */
+  val g12Sql: String = graft.sources.Roundtrip.h6Sql
+
   val queries: Map[String, Q] = Map(
     "g9_stream_topk" -> g9, "g10_stream_ingest_dedup" -> g10,
-    "g11_stream_pq_encode" -> g11,
+    "g11_stream_pq_encode" -> g11, "g12_stream_upsert" -> g12,
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
     "g3_stream_interval_join" -> g3, "g4_stream_static_join" -> g4,
     "g5_stream_session_window" -> g5, "g6_stream_complete_agg" -> g6,
@@ -424,7 +481,7 @@ object StreamOps {
 
   val oracles: Map[String, String] = Map(
     "g9_stream_topk" -> g9Sql, "g10_stream_ingest_dedup" -> g10Sql,
-    "g11_stream_pq_encode" -> g11Sql,
+    "g11_stream_pq_encode" -> g11Sql, "g12_stream_upsert" -> g12Sql,
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,
     "g3_stream_interval_join" -> g3Sql, "g4_stream_static_join" -> g4Sql,
     "g5_stream_session_window" -> g5Sql, "g6_stream_complete_agg" -> g6Sql,
