@@ -616,35 +616,25 @@ object Similarity {
           m => slice(col("emb"), m * lit(SubDim) + lit(1), lit(SubDim))))
         .as(Seq("m", "sub")))
 
-  /** Fold-expression argmin of one subvector against subspace `m`'s
-    * literal codebook (ascending cid, strict `<` — ties keep the lowest
-    * cid, and the per-candidate d2 is the same zip_with/aggregate float
-    * chain as the join+rank assignment the oracle replays, so the result
-    * is bit-identical; the s6/g11 hash gates prove the equivalence every
-    * round). No join, no shuffle: assignment is a pure projection, which
-    * is what lets a Lloyd round cost one skinny-row aggregation instead
-    * of a corpus × SubK join.
+  /** argmin centroid per (vec, subspace): broadcast the (NumSub×SubK,
+    * SubDim)-double codebook, ties to the lowest cid. `subv` should be
+    * checkpointed by the caller — it is scanned once per Lloyd round
+    * plus once for the final encode.
     */
-  private def pqArgminSub(cs: Array[Array[Array[Double]]], m: Column,
-      sub: Column): Column = {
-    val cdl = typedlit(cs.map(_.map(_.toSeq).toSeq).toSeq)
-    val subCb = element_at(cdl, m.cast("int") + 1)
-    // both fold branches cast to one explicit struct type: the zero's
-    // literal fields are non-nullable while the candidate's distance is
-    // derived from (nullable) attribute arrays, and CASE WHEN requires
-    // exact struct equality including names and nullability
-    val stT = "struct<d:double,c:int>"
-    aggregate(sequence(lit(0), lit(SubK - 1)),
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")).cast(stT),
-      (acc, cid) => {
-        val c = element_at(subCb, cid + 1)
-        val dd = aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x)
-        when(dd < acc.getField("d"),
-          struct(dd.as("d"), cid.cast("int").as("c")).cast(stT))
-          .otherwise(acc)
-      },
-      acc => acc.getField("c"))
+  private def pqAssign(s: SparkSession, subv: DataFrame,
+      cs: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    val cdf = cs.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
+    }.toSeq.toDF("m", "cid", "c_sub")
+    val subD2 = aggregate(
+      zip_with($"sub", $"c_sub", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    subv.join(broadcast(cdf), Seq("m"))
+      .withColumn("d2", subD2)
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
+        first($"sub").as("sub"))
   }
 
   /** Learn the PQ codebook: checkpointed double-cast corpus + the joint
@@ -671,9 +661,8 @@ object Similarity {
       }
     }
     for (_ <- 0 until PqIters) {
-      val means = subv
-        .select($"m", pqArgminSub(cents, $"m", $"sub").as("cid"),
-          posexplode($"sub").as(Seq("dim", "x")))
+      val means = pqAssign(s, subv, cents)
+        .select($"m", $"cid", posexplode($"sub").as(Seq("dim", "x")))
         .groupBy($"m", $"cid", $"dim")
         .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
           .as("mn"))
@@ -688,10 +677,11 @@ object Similarity {
     (e, subv, cents)
   }
 
-  /** Stateless per-row PQ encode against a literal codebook: the
-    * [[pqArgminSub]] fold applied to all NumSub subvectors of a full
-    * embedding, usable in a streaming projection with no shuffle and no
-    * state. Returns the NumSub-element code array.
+  /** Stateless per-row PQ encode against a literal codebook: an
+    * expression-only argmin fold (ascending cid, strict `<` — ties keep
+    * the lowest cid, the same semantics as [[pqAssign]]'s min(struct)),
+    * usable in a streaming projection with no shuffle and no state.
+    * Returns the NumSub-element code array.
     */
   private[graft] def pqEncode(cs: Array[Array[Array[Double]]],
       emb: Column): Column =
@@ -713,10 +703,7 @@ object Similarity {
   def s6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (e, subv, cents) = pqTrain(s, dir)
-    // shuffle-free encode: the fold argmin as a projection over the
-    // checkpointed subvector table (≡ the oracle's join+rank assignment)
-    val codes = subv.select($"vec_id", $"m",
-      pqArgminSub(cents, $"m", $"sub").as("cid"))
+    val codes = pqAssign(s, subv, cents).select($"vec_id", $"m", $"cid")
     // ADC lookup table: bounded query set on the driver (the s3
     // discipline); each cell an exact integer of 1e-6 ticks
     val queries = e.filter($"vec_id" < NumQueries)
