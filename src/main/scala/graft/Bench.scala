@@ -190,8 +190,31 @@ object Bench {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(operators.Similarity.s1(spark, sfDir))
-    val s6got = pairs(operators.Similarity.s6(spark, sfDir))
+    // s6/g11 index-build vs steady-state split: the codebook is learned
+    // ONCE per deployment (a ~16 KiB artifact), so its Lloyd cost is
+    // reported as s6_build_s while s6_query_s/g11_encode_s time what a
+    // live index actually pays per query batch / micro-batch
+    val tB0 = System.nanoTime()
+    val (pqE, pqSubv, pqCents) = operators.Similarity.pqTrain(spark, sfDir)
+    val s6BuildSec = (System.nanoTime() - tB0) / 1e9
+    val s6QuerySec = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      operators.Similarity.s6Query(spark, pqE, pqSubv, pqCents)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val g11EncodeSec = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      streaming.StreamOps.g11Encode(spark, pqE, pqCents)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val s6got = pairs(operators.Similarity.s6Query(spark, pqE, pqSubv, pqCents))
     val s6recall = (truth & s6got).size.toDouble / truth.size
+    // the PQ corpus/subvector checkpoints are dead past this point — drop
+    // them so the scale probes below don't pay their memory pressure
+    // (measured: d5's candidate-join probe ran 4× slower with them live)
+    dropCachedBlocks()
     val ann = Seq(
       ("s2", pairs(operators.Similarity.s2(spark, sfDir)),
         operators.Similarity.s2Scored(spark, sfDir).count()),
@@ -203,7 +226,9 @@ object Bench {
       }.mkString("{", ",", ",") +
       f""""s6_recall":$s6recall%.3f,"s6_rerank":${
         operators.Similarity.rerankDepth(
-          sources.Tables.embeddings(spark, sfDir).count())}}"""
+          sources.Tables.embeddings(spark, sfDir).count())},""" +
+      f""""s6_build_s":$s6BuildSec%.3f,"s6_query_s":$s6QuerySec%.3f,""" +
+      f""""g11_encode_s":$g11EncodeSec%.3f}"""
     // scale probes: candidate-generation selectivity AND wall-time on
     // synthetic corpora big enough that a quadratic shape would show
     // (5.1k docs / 50.5k vectors — the ScaleProbeSpec corpora). Signature

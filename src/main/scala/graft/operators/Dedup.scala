@@ -368,8 +368,8 @@ object Dedup {
     */
   def d6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashCandidates(s, dir).localCheckpoint(true)
-    val labels = componentsOf(pairs)
+    val pairs = minhashCandidates(s, dir)
+    val labels = componentsOf(pairs) // checkpoints + sizes the graph itself
     // singletons label themselves; the dup-graph labels join back over
     // the corpus (AQE broadcasts the checkpointed label table whenever
     // the dup graph is small — the common case — and falls back to a
@@ -389,10 +389,28 @@ object Dedup {
     * loop). Shared by [[d6]] (text near-dup groups) and [[d11]]
     * (embedding-space components).
     */
-  def componentsOf(pairs: DataFrame): DataFrame = {
+  /** Edge-count ceiling for the driver union-find fast path: 200k pairs
+    * (~3 MB of longs) is far under broadcast-table size, and LSH-candidate
+    * graphs at gate SFs are orders of magnitude smaller. Past it the
+    * distributed doubling loop runs — the only shape that holds when the
+    * dup graph itself is cluster-sized.
+    */
+  val LocalComponentsMaxEdges = 200000L
+
+  def componentsOf(pairs: DataFrame,
+      maxLocalEdges: Long = LocalComponentsMaxEdges): DataFrame = {
     import pairs.sparkSession.implicits._
-    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-      .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+    val p = pairs.localCheckpoint(true)
+    // runtime-adaptive, like AQE's broadcast conversion: near-dup graphs
+    // are usually a sliver of the corpus (the bench probes measure
+    // candidate fractions of 1e-3..1e-6), so when the EDGE LIST is
+    // driver-small a sequential union-find replaces an O(log d)-round
+    // distributed loop — same min-label result (hash-gated), none of the
+    // per-round job+shuffle overhead. The distributed path below remains
+    // the scale story for graphs that genuinely don't fit.
+    if (p.count() <= maxLocalEdges) return componentsLocal(p)
+    val edges = p.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(p.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint(true)
     // iterate over the EDGE-INDUCED vertex set only: a doc with no
     // near-dup edge keeps its own label, so the corpus never enters the
@@ -432,6 +450,32 @@ object Dedup {
       s"label propagation did not converge within $maxRounds rounds; " +
         "component labels would be incorrect")
     labels
+  }
+
+  /** Driver union-find over a small edge list (gated by
+    * [[LocalComponentsMaxEdges]]): union-by-min keeps every root the
+    * smallest id of its component, so `find` IS the min-label — exactly
+    * [[componentsOf]]'s distributed result, at the cost of one bounded
+    * collect instead of log(diameter) shuffle rounds.
+    */
+  private def componentsLocal(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val es = pairs.select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      .toDF("doc_id", "group_id")
   }
 
   /** Unroll depth for the components oracles: relax+double reaches
@@ -673,8 +717,8 @@ object Dedup {
     */
   def d11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = d5(s, dir).select($"a_id", $"b_id").localCheckpoint(true)
-    val labels = componentsOf(pairs)
+    val pairs = d5(s, dir).select($"a_id", $"b_id")
+    val labels = componentsOf(pairs) // checkpoints + sizes the graph itself
     Tables.embeddings(s, dir).select($"vec_id")
       .join(labels.toDF("vec_id", "g"), Seq("vec_id"), "left_outer")
       .select($"vec_id", coalesce($"g", $"vec_id").as("rep_id"))

@@ -186,11 +186,12 @@ object TextOps {
     val nDf = docs.agg(count(lit(1)).as("n"))
     val tok = docs.withColumn("toks", Text.tokens($"text"))
       .select($"doc_id", explode($"toks").as("token"))
-    // tf is materialized once: document frequency is just the per-token
-    // row count of tf (tf has one row per (doc, token)), so deriving df
-    // from it avoids a second scan+tokenize+explode of the corpus
+    // document frequency is just the per-token row count of tf (tf has
+    // one row per (doc, token)), so both the df branch and the join
+    // consume the SAME tf aggregation — Spark's ReuseExchange serves
+    // both from one shuffle, so the corpus is scanned+tokenized exactly
+    // once with no eager materialization barrier in the middle
     val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"token")

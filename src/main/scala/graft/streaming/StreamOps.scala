@@ -398,9 +398,18 @@ object StreamOps {
     * also proves the fold-expression argmin ≡ the join+rank argmin.
     */
   def g11(s: SparkSession, dir: String): DataFrame = {
+    val (e, _, cents) = graft.operators.Similarity.pqTrain(s, dir)
+    g11Encode(s, e, cents)
+  }
+
+  /** [[g11]]'s streaming encode against an already-learned codebook —
+    * split out so the bench can time the steady-state encode without the
+    * one-time Lloyd training in front of it.
+    */
+  private[graft] def g11Encode(s: SparkSession, e: DataFrame,
+      cents: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
     import graft.operators.Similarity
-    val (e, _, cents) = Similarity.pqTrain(s, dir)
     StreamRunner.runFiles(s,
         Seq(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1))) {
       df =>

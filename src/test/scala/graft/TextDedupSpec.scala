@@ -16,6 +16,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(joined.filter(col("n_tokens") > col("n_chars")).count() == 0)
   }
 
+  test("componentsOf: driver union-find fast path == distributed doubling loop") {
+    import s.implicits._
+    // chains (deep diameter), a clique, self-contained singleton pairs —
+    // the shapes that distinguish min-label propagation bugs
+    val edges = ((1L to 40L).sliding(2).map(w => (w(0), w(1))).toSeq ++
+      Seq((100L, 103L), (103L, 101L), (101L, 102L), (100L, 102L),
+        (200L, 201L), (300L, 300L), (50L, 45L))).toDF("a_id", "b_id")
+    val local = Dedup.componentsOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // maxLocalEdges = -1 forces the distributed pointer-doubling loop
+    val dist = Dedup.componentsOf(edges, maxLocalEdges = -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == dist)
+    assert(local(40L) == 1L && local(102L) == 100L && local(201L) == 200L)
+    assert(local(300L) == 300L && local(45L) == 45L && local(50L) == 45L)
+  }
+
   test("t2 quality components stay in [0,1]") {
     val bad = TextOps.t2(s, d).filter(
       col("punct_ratio") < 0 || col("punct_ratio") > 1 ||
