@@ -190,16 +190,18 @@ object Bench {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(operators.Similarity.s1(spark, sfDir))
-    // s6/g11 index-build vs steady-state split: the codebook is learned
-    // ONCE per deployment (a ~16 KiB artifact), so its Lloyd cost is
-    // reported as s6_build_s while s6_query_s/g11_encode_s time what a
-    // live index actually pays per query batch / micro-batch
+    // s6/g11 index-build vs steady-state split: the codebook (~16 KiB)
+    // AND the encoded code table are one-time build artifacts — the code
+    // table IS the stored index the scan reads instead of raw vectors —
+    // so both land in s6_build_s, while s6_query_s times what a live
+    // index pays per query batch (LUT + ADC scan + re-rank) and
+    // g11_encode_s times the steady-state streaming ingest encode
     val tB0 = System.nanoTime()
-    val (pqE, pqSubv, pqCents) = operators.Similarity.pqTrain(spark, sfDir)
+    val (pqE, pqCodes, pqCents) = operators.Similarity.pqIndex(spark, sfDir)
     val s6BuildSec = (System.nanoTime() - tB0) / 1e9
     val s6QuerySec = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      operators.Similarity.s6Query(spark, pqE, pqSubv, pqCents)
+      operators.Similarity.s6Query(spark, pqE, pqCodes, pqCents)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
@@ -209,7 +211,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val s6got = pairs(operators.Similarity.s6Query(spark, pqE, pqSubv, pqCents))
+    val s6got = pairs(operators.Similarity.s6Query(spark, pqE, pqCodes, pqCents))
     val s6recall = (truth & s6got).size.toDouble / truth.size
     // the PQ corpus/subvector checkpoints are dead past this point — drop
     // them so the scale probes below don't pay their memory pressure

@@ -566,7 +566,7 @@ object Similarity {
 
   /** s6: PRODUCT QUANTIZATION (Jégou et al., PAMI'11) — the memory-scale
     * ANN path: each 64-dim float vector (256 B) compresses to
-    * [[NumSub]] sub-codes of log2([[SubK]]) bits (16 bits total), and
+    * [[NumSub]] sub-codes of log2([[SubK]]) bits (48 bits total), and
     * queries scan codes with an asymmetric-distance lookup table instead
     * of touching raw vectors. At 100 TB of embeddings the raw corpus
     * cannot live in executor memory but the code table (~160× smaller)
@@ -596,7 +596,7 @@ object Similarity {
     */
   val NumSub = 8      // subspaces
   val SubDim = Dim / NumSub
-  val SubK = 32       // centroids per subspace -> 5-bit codes
+  val SubK = 64       // centroids per subspace -> 6-bit codes
   val PqIters = 2     // Lloyd refinement rounds (mirrors [[LloydIters]])
   /** ADC shortlist depth fed to exact re-ranking: max(250, N/25). The
     * ratio keeps recall stable as N grows (tight-margin neighbors need a
@@ -612,89 +612,22 @@ object Similarity {
     */
   def rerankDepth(n: Long): Int = math.max(250, (n / 25).toInt)
 
-  /** (vec_id, m, sub[SubDim]) — each vector split into its NumSub
-    * subvectors.
-    */
-  private def pqSubv(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(
-        transform(sequence(lit(0), lit(NumSub - 1)),
-          m => slice(col("emb"), m * lit(SubDim) + lit(1), lit(SubDim))))
-        .as(Seq("m", "sub")))
-
-  /** Batch argmin centroid per (vec, subspace): broadcast the
-    * (NumSub×SubK, SubDim)-double codebook and min(struct) per (vec, m),
-    * ties to the lowest cid. `subv` should be checkpointed by the caller —
-    * it is scanned once per Lloyd round plus once for the final encode.
-    *
-    * MEASURED (sf0.1, round 9): this join+rank shape trains in ~1 s/round
-    * where the [[pqArgminSub]] fold as a batch projection took ~5 s/round
-    * (s6_build_s 9.8 s vs the r7 join+rank s6 total of 2.6 s) — the fold's
-    * higher-order expressions (aggregate/zip_with/element_at over a nested
-    * literal) are CodegenFallback and evaluate interpreted per row×step,
-    * while the join+agg stays inside whole-stage codegen. So: join+rank
-    * for corpus-wide batch assignment, fold only where statelessness pays
-    * (the streaming per-row encode, [[pqEncode]], where no shuffle or
-    * state store may exist and a micro-batch is small). The two are
-    * bit-identical (g11's hash gate proves it every round).
-    */
-  private def pqAssign(s: SparkSession, subv: DataFrame,
-      cs: Array[Array[Array[Double]]]): DataFrame = {
-    import s.implicits._
-    val cdf = cs.zipWithIndex.flatMap { case (sub, m) =>
-      sub.zipWithIndex.map { case (c, cid) => (m, cid, c.toSeq) }
-    }.toSeq.toDF("m", "cid", "c_sub")
-    val subD2 = aggregate(
-      zip_with($"sub", $"c_sub", (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    subv.join(broadcast(cdf), Seq("m"))
-      .withColumn("d2", subD2)
-      .groupBy($"vec_id", $"m")
-      .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
-        first($"sub").as("sub"))
-  }
-
-  /** Fold-expression argmin of one subvector against subspace `m`'s
-    * literal codebook (ascending cid, strict `<` — ties keep the lowest
-    * cid, the same semantics as [[pqAssign]]'s min(struct); bit-identical
-    * results, proven by the g11 hash gate). Kept for the STREAMING encode
-    * only — see [[pqAssign]] for the batch-path measurement.
-    */
-  private def pqArgminSub(cs: Array[Array[Array[Double]]], m: Column,
-      sub: Column): Column = {
-    val cdl = typedlit(cs.map(_.map(_.toSeq).toSeq).toSeq)
-    val subCb = element_at(cdl, m.cast("int") + 1)
-    // both fold branches cast to one explicit struct type: the zero's
-    // literal fields are non-nullable while the candidate's distance is
-    // derived from (nullable) attribute arrays, and CASE WHEN requires
-    // exact struct equality including names and nullability
-    val stT = "struct<d:double,c:int>"
-    aggregate(sequence(lit(0), lit(SubK - 1)),
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")).cast(stT),
-      (acc, cid) => {
-        val c = element_at(subCb, cid + 1)
-        val dd = aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x)
-        when(dd < acc.getField("d"),
-          struct(dd.as("d"), cid.cast("int").as("c")).cast(stT))
-          .otherwise(acc)
-      },
-      acc => acc.getField("c"))
-  }
-
   /** Learn the PQ codebook: checkpointed double-cast corpus + the joint
-    * Lloyd over (m, cid) — one grouped fixed-point mean per round
-    * refines all NumSub sub-quantizers in the same pass. Returns the
-    * corpus, the checkpointed subvector table (reused by the final
-    * encode) and the (NumSub × SubK × SubDim) codebook (driver-resident;
-    * ~16 KiB of doubles).
+    * Lloyd over (m, cid) — one grouped fixed-point mean per round refines
+    * all NumSub sub-quantizers in the same pass. Every round's assignment
+    * is the native codegen'd [[pqEncode]] projection (no codebook join,
+    * no per-vector groupBy — see functions/PqEncode.scala for the retired
+    * shapes and their measurements), so a round costs one corpus scan +
+    * one skinny aggregation. Returns the corpus and the
+    * (NumSub × SubK × SubDim) codebook (driver-resident; ~25 KiB of
+    * doubles).
     */
   private[graft] def pqTrain(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
+      : (DataFrame, Array[Array[Array[Double]]]) = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .localCheckpoint(true)
-    val subv = pqSubv(e).localCheckpoint(true)
     // seeds: subvectors of the SubK lowest vec_ids (rank, not vec_id<k —
     // exact count even with sparse ids), per subspace
     var cents: Array[Array[Array[Double]]] = {
@@ -705,8 +638,11 @@ object Similarity {
       }
     }
     for (_ <- 0 until PqIters) {
-      val means = pqAssign(s, subv, cents)
-        .select($"m", $"cid", posexplode($"sub").as(Seq("dim", "x")))
+      val means = e
+        .select(posexplode(pqEncode(cents, $"emb")).as(Seq("m", "cid")), $"emb")
+        .select($"m", $"cid",
+          posexplode(slice($"emb", $"m" * SubDim + 1, lit(SubDim)))
+            .as(Seq("dim", "x")))
         .groupBy($"m", $"cid", $"dim")
         .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
           .as("mn"))
@@ -718,46 +654,50 @@ object Similarity {
       }
       cents = next
     }
-    (e, subv, cents)
+    (e, cents)
   }
 
-  /** Stateless per-row PQ encode against a literal codebook: the
-    * [[pqArgminSub]] fold applied to all NumSub subvectors of a full
-    * embedding, usable in a streaming projection with no shuffle and no
-    * state. Returns the NumSub-element code array.
+  /** Stateless per-row PQ encode against a baked-in codebook: the native
+    * codegen'd [[graft.functions.PqEncode]] expression (tight primitive
+    * argmin loops inside whole-stage codegen — same IEEE chain and
+    * lowest-cid tie-break as the retired interpreted shapes; see that
+    * file's scaladoc for the measurements). A pure projection: usable in
+    * a streaming plan with no shuffle and no state, and as the batch
+    * corpus encode. Returns the NumSub-element code array.
     */
   private[graft] def pqEncode(cs: Array[Array[Array[Double]]],
-      emb: Column): Column =
-    array((0 until NumSub).map { m =>
-      val sub = slice(emb, m * SubDim + 1, SubDim)
-      val cdl = typedlit(cs(m).map(_.toSeq).toSeq)
-      aggregate(sequence(lit(0), lit(SubK - 1)),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-        (acc, cid) => {
-          val c = element_at(cdl, cid + 1)
-          val dd = aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x)
-          when(dd < acc.getField("d"),
-            struct(dd.as("d"), cid.cast("int").as("c"))).otherwise(acc)
-        },
-        acc => acc.getField("c"))
-    }: _*)
+      emb: Column): Column = graft.functions.PqEncode(cs, emb)
 
   def s6(s: SparkSession, dir: String): DataFrame = {
-    val (e, subv, cents) = pqTrain(s, dir)
-    s6Query(s, e, subv, cents)
+    val (e, codes, cents) = pqIndex(s, dir)
+    s6Query(s, e, codes, cents)
   }
 
-  /** The deployed-index query path of [[s6]]: encode + ADC scan +
-    * shortlist + exact re-rank against an ALREADY-LEARNED codebook. Split
-    * from [[pqTrain]] so the bench can report index-build and query cost
-    * separately — in deployment the codebook is learned once and
-    * persisted (~16 KiB), while this path runs per query batch.
+  /** Build the COMPLETE stored PQ index: learned codebook + the encoded
+    * code table. Both are one-time artifacts — the code table is what the
+    * corpus-wide scan reads instead of raw vectors, persisted alongside
+    * the ~16 KiB codebook in deployment (here: checkpointed, so query
+    * timings never re-pay the encode).
     */
-  private[graft] def s6Query(s: SparkSession, e: DataFrame, subv: DataFrame,
+  private[graft] def pqIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
+    import s.implicits._
+    val (e, cents) = pqTrain(s, dir)
+    val codes = e
+      .select($"vec_id", posexplode(pqEncode(cents, $"emb")).as(Seq("m", "cid")))
+      .localCheckpoint(true)
+    (e, codes, cents)
+  }
+
+  /** The deployed-index query path of [[s6]]: ADC lookup-table build +
+    * code-table scan + shortlist + exact re-rank against an
+    * ALREADY-BUILT index ([[pqIndex]]'s codebook + code table). This is
+    * the per-query-batch cost of a live PQ index — everything upstream
+    * (Lloyd training AND corpus encode) is one-time build cost.
+    */
+  private[graft] def s6Query(s: SparkSession, e: DataFrame, codes: DataFrame,
       cents: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
-    val codes = pqAssign(s, subv, cents).select($"vec_id", $"m", $"cid")
     // ADC lookup table: bounded query set on the driver (the s3
     // discipline); each cell an exact integer of 1e-6 ticks
     val queries = e.filter($"vec_id" < NumQueries)

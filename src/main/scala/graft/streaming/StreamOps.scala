@@ -398,7 +398,7 @@ object StreamOps {
     * also proves the fold-expression argmin ≡ the join+rank argmin.
     */
   def g11(s: SparkSession, dir: String): DataFrame = {
-    val (e, _, cents) = graft.operators.Similarity.pqTrain(s, dir)
+    val (e, cents) = graft.operators.Similarity.pqTrain(s, dir)
     g11Encode(s, e, cents)
   }
 

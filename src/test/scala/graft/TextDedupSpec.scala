@@ -312,7 +312,7 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("g11 streaming PQ encode equals the stateless batch encode") {
-    val (e, _, cents) = Similarity.pqTrain(s, d)
+    val (e, cents) = Similarity.pqTrain(s, d)
     val batch = e.select(col("vec_id"),
         posexplode(Similarity.pqEncode(cents, col("emb"))))
       .toDF("vec_id", "m", "cid").collect()
