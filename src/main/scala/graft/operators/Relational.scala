@@ -1008,7 +1008,107 @@ object Relational {
     FROM a JOIN f USING (user_id)
     GROUP BY 1, 2"""
 
+  /** q43: TPC-H Q8 shape — a nation's share of regional revenue by order
+    * year. Six-way star join (dims broadcast; the one fact-fact join,
+    * lineitem ⋈ orders, shuffles on orderkey with AQE); the share divides
+    * two exact decimal sums ([[graft.Portable.dsum]]) so the boundary is
+    * bit-identical, then rounds the IEEE quotient.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.nation(s, dir)
+      .select($"n_nationkey".as("c_nk"), $"n_regionkey")
+    val sn = Tables.nation(s, dir)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(cn), $"c_nationkey" === $"c_nk")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(sn), $"s_nationkey" === $"s_nk")
+      .select($"s_suppkey", $"supp_nation")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .groupBy(year($"o_orderdate").cast("long").as("yr"))
+      .agg(
+        dsum(when($"supp_nation" === "NATION_7", $"volume").otherwise(0.0), 4)
+          .as("nation_volume"),
+        dsum($"volume", 4).as("total_volume"))
+      .withColumn("mkt_share",
+        round($"nation_volume" / $"total_volume", 6))
+  }
+
+  val q43Sql: String = s"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      ${dsumSql("CASE WHEN sn.n_name = 'NATION_7' " +
+        "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)}
+        AS nation_volume,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_volume,
+      round(${dsumSql("CASE WHEN sn.n_name = 'NATION_7' " +
+          "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)}
+        / ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 6)
+        AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1"""
+
+  /** q44: TPC-H Q13 shape — the distribution of orders-per-customer,
+    * including zero-order customers via the left outer join. Two
+    * cascaded aggregations on exact integers; the first shuffles on
+    * custkey, the second on the (tiny) count domain.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey")
+      .join(Tables.orders(s, dir).select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").cast("long").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).cast("long").as("custdist"))
+  }
+
+  val q44Sql: String = """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count"""
+
+  /** q45: correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    * top-3 customers by balance. Exercises Catalyst's lateral-join
+    * decorrelation (the correlated LIMIT becomes a partitioned
+    * WindowGroupLimit, the same physical shape as q11's window rank —
+    * verified via `.explain`); results are raw column values, no float
+    * arithmetic, so the gate is exact.
+    */
+  val q45Sql: String = """
+    SELECT n.n_name AS nation, t.c_custkey AS custkey, t.c_acctbal AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t"""
+
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(q45Sql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_market_share" -> q43, "q44_cust_distribution" -> q44,
+    "q45_lateral_topn" -> q45,
     "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
     "q39_sliding_window" -> q39, "q40_skew_join" -> q40,
     "q41_histogram_quantile" -> q41, "q42_cohort_retention" -> q42,
@@ -1030,6 +1130,8 @@ object Relational {
     "q36_kmv_distinct" -> q36)
 
   val oracles: Map[String, String] = Map(
+    "q43_market_share" -> q43Sql, "q44_cust_distribution" -> q44Sql,
+    "q45_lateral_topn" -> q45Sql,
     "q36_kmv_distinct" -> q36Sql,
     "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
     "q39_sliding_window" -> q39Sql, "q40_skew_join" -> q40Sql,

@@ -231,13 +231,59 @@ object Roundtrip {
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
     FROM latest WHERE op = 'I'"""
 
+  /** h7: SMALL-FILE COMPACTION — the table-maintenance job every
+    * streaming-ingest lake needs: micro-batch sinks leave thousands of
+    * KB-sized files per partition, and scan throughput collapses under
+    * per-file open/footer costs. The job rewrites a fragmented copy of
+    * lineitem (64 shards) into ~`targetFileBytes`-sized files
+    * (`maxRecordsPerFile` derived from measured bytes/row, so the policy
+    * is size-based, not a magic row count) and re-reads the compacted
+    * layout. At 100 TB this runs per-partition as independent rewrites —
+    * here the whole table is one "partition". Content must round-trip
+    * exactly: the oracle is the source table itself; [[h7FileCounts]]
+    * gives the spec the before/after file counts.
+    */
+  def h7(s: SparkSession, dir: String): DataFrame =
+    h7Compact(s, dir)._1
+
+  /** The compacted re-read plus (fragmented, compacted) file counts. */
+  private[graft] def h7Compact(s: SparkSession, dir: String)
+      : (DataFrame, (Int, Int)) = {
+    val out = tmp("graft_h7_")
+    Tables.lineitem(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(s"$out/fragmented")
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val fragmented = s.read.parquet(s"$out/fragmented")
+    val nFrag = parquetFiles(s"$out/fragmented")
+    // size-based target: rows per output file = target bytes / (observed
+    // bytes per row in the fragmented layout)
+    val targetFileBytes = 8L << 20
+    val srcBytes = Option(new java.io.File(s"$out/fragmented").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+      .getOrElse(1L)
+    val rows = fragmented.count()
+    val rowsPerFile = math.max(1L, rows * targetFileBytes / math.max(1L, srcBytes))
+    val nOut = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    fragmented.repartition(nOut)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(s"$out/compacted")
+    (s.read.parquet(s"$out/compacted"), (nFrag, parquetFiles(s"$out/compacted")))
+  }
+
+  val h7Sql: String = "SELECT * FROM lineitem"
+
   val queries: Map[String, Q] = Map(
     "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
     "h3_orc_roundtrip" -> h3, "h4_partitioned_prune" -> h4,
-    "h5_bucketed_join" -> h5, "h6_merge_upsert" -> h6)
+    "h5_bucketed_join" -> h5, "h6_merge_upsert" -> h6,
+    "h7_compaction" -> h7)
 
   val oracles: Map[String, String] = Map(
     "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
     "h3_orc_roundtrip" -> h3Sql, "h4_partitioned_prune" -> h4Sql,
-    "h5_bucketed_join" -> h5Sql, "h6_merge_upsert" -> h6Sql)
+    "h5_bucketed_join" -> h5Sql, "h6_merge_upsert" -> h6Sql,
+    "h7_compaction" -> h7Sql)
 }
