@@ -480,7 +480,64 @@ object StreamOps {
     */
   val g12Sql: String = graft.sources.Roundtrip.h6Sql
 
+  /** g13: STREAMING INGEST + PERIODIC COMPACTION — the lake-maintenance
+    * loop behind `h7` (the h7↔g13 steady-state pairing, like d9↔g10,
+    * h6↔g12, s6↔g11): a fragmenting micro-batch sink appends 8 small
+    * files per trigger, and whenever the table's file count crosses
+    * [[CompactThreshold]] the maintenance pass rewrites it into
+    * size-targeted files (h7's bytes/row-derived policy). At 100 TB this
+    * is the per-partition background job that keeps scan throughput from
+    * collapsing under per-file open costs while ingest keeps appending.
+    * Content must survive any interleaving of appends and rewrites — the
+    * oracle is the full ingested table.
+    */
+  def g13(s: SparkSession, dir: String): DataFrame =
+    g13Run(s, dir)._1
+
+  private val CompactThreshold = 24
+
+  /** The compacted-table re-read plus (total appended small files,
+    * compaction passes run, final file count) for the spec.
+    */
+  private[graft] def g13Run(s: SparkSession, dir: String)
+      : (DataFrame, (Int, Int, Int)) = {
+    import s.implicits._
+    val out = StreamRunner.stagingRoot(s, "g13_")
+    val tbl = s"$out/table"
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val batches = (0 until 8).map(i => ev.filter(pmod($"event_id", lit(8)) === i))
+    def files(p: String): Array[java.io.File] =
+      Option(new java.io.File(p).listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet")))
+        .getOrElse(Array.empty)
+    var appended = 0
+    var compactions = 0
+    StreamRunner.runForeachFiles(s, batches) { (batch, _) =>
+      batch.repartition(8).write.mode("append").parquet(tbl)
+      appended += 8
+      if (files(tbl).length >= CompactThreshold) {
+        // materialize BEFORE the overwrite deletes the files the lazy
+        // plan would re-read (the g12 discipline)
+        val all = s.read.parquet(tbl).localCheckpoint(true)
+        val bytes = files(tbl).map(_.length).sum
+        val rows = all.count()
+        val rowsPerFile =
+          math.max(1L, rows * (8L << 20) / math.max(1L, bytes))
+        val nOut = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+        all.repartition(nOut).write.mode("overwrite")
+          .option("maxRecordsPerFile", rowsPerFile).parquet(tbl)
+        compactions += 1
+      }
+    }
+    (s.read.parquet(tbl), (appended, compactions, files(tbl).length))
+  }
+
+  val g13Sql: String =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
   val queries: Map[String, Q] = Map(
+    "g13_stream_compaction" -> g13,
     "g9_stream_topk" -> g9, "g10_stream_ingest_dedup" -> g10,
     "g11_stream_pq_encode" -> g11, "g12_stream_upsert" -> g12,
     "g1_stream_dedup" -> g1, "g2_stream_sessionize" -> g2,
@@ -489,6 +546,7 @@ object StreamOps {
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
+    "g13_stream_compaction" -> g13Sql,
     "g9_stream_topk" -> g9Sql, "g10_stream_ingest_dedup" -> g10Sql,
     "g11_stream_pq_encode" -> g11Sql, "g12_stream_upsert" -> g12Sql,
     "g1_stream_dedup" -> g1Sql, "g2_stream_sessionize" -> g2Sql,

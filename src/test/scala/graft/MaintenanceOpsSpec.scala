@@ -67,4 +67,17 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(compacted.join(src, cols, "left_anti").count() == 0)
     assert(src.join(compacted, cols, "left_anti").count() == 0)
   }
+
+  test("g13 streaming ingest+compaction preserves content, bounds files") {
+    val (table, (appended, compactions, finalFiles)) =
+      streaming.StreamOps.g13Run(s, d)
+    assert(compactions >= 1, "no compaction pass ever triggered")
+    assert(finalFiles < appended,
+      s"final layout not compacted: $finalFiles vs $appended appended")
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    assert(table.count() == src.count())
+    val cols = src.columns.toSeq
+    assert(table.join(src, cols, "left_anti").count() == 0)
+  }
 }
