@@ -569,7 +569,7 @@ object Similarity {
     * [[NumSub]] sub-codes of log2([[SubK]]) bits (48 bits total), and
     * queries scan codes with an asymmetric-distance lookup table instead
     * of touching raw vectors. At 100 TB of embeddings the raw corpus
-    * cannot live in executor memory but the code table (~160× smaller)
+    * cannot live in executor memory but the code table (~42× smaller)
     * can — PQ is how the scan stays memory-resident.
     *
     * Everything is deterministic, so the gate is a FULL hash match:
@@ -845,7 +845,7 @@ object Similarity {
     * into a fresh codebook array + code DataFrame, and the reloaded index
     * serves [[s6Query]]. This is the deployment shape at 100 TB: build
     * once, persist, and every query session thereafter reads the stored
-    * code table (N×8 skinny rows, ~160× smaller than raw vectors) without
+    * code table (N×8 skinny rows, ~42× smaller than raw vectors) without
     * re-training or re-encoding. Doubles survive a parquet round-trip
     * bit-exactly, so the gate is [[s6Sql]] — the reloaded index must
     * reproduce the live index's ranks to the last tie-break.
@@ -867,7 +867,16 @@ object Similarity {
       reloaded(r.getAs[Int]("m"))(r.getAs[Int]("cid"))(r.getAs[Int]("dim")) =
         r.getAs[Double]("x")
     }
-    s6Query(s, e, s.read.parquet(s"$idxDir/codes"), reloaded)
+    // materialize the reloaded code table so the on-disk index copy can
+    // be deleted before the query plan runs (repeated gate/bench
+    // invocations must not accumulate index copies in the temp dir)
+    val reloadedCodes = s.read.parquet(s"$idxDir/codes").localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(idxDir))
+    s6Query(s, e, reloadedCodes, reloaded)
   }
 
   val queries: Map[String, Q] = Map(

@@ -246,31 +246,56 @@ object Roundtrip {
   def h7(s: SparkSession, dir: String): DataFrame =
     h7Compact(s, dir)._1
 
-  /** The compacted re-read plus (fragmented, compacted) file counts. */
+  /** The parquet data files of a directory layout (shared by h7 and
+    * `StreamOps.g13`'s compaction accounting).
+    */
+  private[graft] def parquetFiles(p: String): Array[java.io.File] =
+    Option(new java.io.File(p).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")))
+      .getOrElse(Array.empty)
+
+  /** The ONE size-based compaction policy (h7 batch + g13 streaming run
+    * the same rule, as g13's scaladoc promises): rows per output file =
+    * target bytes / measured bytes-per-row of the current layout, and the
+    * output file count follows. Returns (rowsPerFile, nOut).
+    */
+  private[graft] def compactionPlan(rows: Long, layoutBytes: Long,
+      targetFileBytes: Long = 8L << 20): (Long, Int) = {
+    val rowsPerFile =
+      math.max(1L, rows * targetFileBytes / math.max(1L, layoutBytes))
+    (rowsPerFile, math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt))
+  }
+
+  private def rmTree(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+  }
+
+  /** The compacted re-read plus (fragmented, compacted) file counts. The
+    * result is materialized (h5's discipline) so the two full table
+    * copies under the temp dir can be deleted before returning.
+    */
   private[graft] def h7Compact(s: SparkSession, dir: String)
       : (DataFrame, (Int, Int)) = {
     val out = tmp("graft_h7_")
     Tables.lineitem(s, dir).repartition(64)
       .write.mode("overwrite").parquet(s"$out/fragmented")
-    def parquetFiles(p: String): Int =
-      Option(new java.io.File(p).listFiles())
-        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
     val fragmented = s.read.parquet(s"$out/fragmented")
-    val nFrag = parquetFiles(s"$out/fragmented")
-    // size-based target: rows per output file = target bytes / (observed
-    // bytes per row in the fragmented layout)
-    val targetFileBytes = 8L << 20
-    val srcBytes = Option(new java.io.File(s"$out/fragmented").listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
-      .getOrElse(1L)
-    val rows = fragmented.count()
-    val rowsPerFile = math.max(1L, rows * targetFileBytes / math.max(1L, srcBytes))
-    val nOut = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    val nFrag = parquetFiles(s"$out/fragmented").length
+    val srcBytes = parquetFiles(s"$out/fragmented").map(_.length).sum
+    val (rowsPerFile, nOut) = compactionPlan(fragmented.count(), srcBytes)
     fragmented.repartition(nOut)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(s"$out/compacted")
-    (s.read.parquet(s"$out/compacted"), (nFrag, parquetFiles(s"$out/compacted")))
+    val nCompacted = parquetFiles(s"$out/compacted").length
+    val result =
+      try s.read.parquet(s"$out/compacted").localCheckpoint(true)
+      finally rmTree(out)
+    (result, (nFrag, nCompacted))
   }
 
   val h7Sql: String = "SELECT * FROM lineitem"

@@ -384,18 +384,18 @@ object StreamOps {
   /** g11: streaming PQ ENCODE — the ingest half of the s6 index (the
     * s6↔g11 pairing mirrors d9↔g10): the codebook is learned once on the
     * static corpus ([[graft.operators.Similarity.pqTrain]]), then
-    * arriving vectors are encoded STATELESSLY — a single expression-only
-    * argmin fold against the broadcast-literal codebook
-    * ([[graft.operators.Similarity.pqEncode]]), so the streaming plan is
-    * a pure projection: no shuffle, no state store, per-batch cost
-    * exactly batch-size × codebook-size. That is the steady-state 100 TB
-    * ingest shape — new embeddings join the compressed index at wire
-    * speed while the corpus-side scan keeps reading only 16-bit codes.
+    * arriving vectors are encoded STATELESSLY by the native codegen'd
+    * argmin expression ([[graft.functions.PqEncode]], codebook baked in
+    * as a codegen reference object), so the streaming plan is a pure
+    * projection: no shuffle, no state store, per-batch cost exactly
+    * batch-size × codebook-size. That is the steady-state 100 TB ingest
+    * shape — new embeddings join the compressed index at wire speed
+    * while the corpus-side scan keeps reading only 48-bit codes.
     *
     * Output = every vector's (m, cid) codes, byte-equal to the batch
     * assignment: the oracle replays the rank-based argmin
     * ([[graft.operators.Similarity.pqCodesSqlPrefix]]), so a hash match
-    * also proves the fold-expression argmin ≡ the join+rank argmin.
+    * also proves the native argmin loop ≡ the rank-based argmin.
     */
   def g11(s: SparkSession, dir: String): DataFrame = {
     val (e, cents) = graft.operators.Similarity.pqTrain(s, dir)
@@ -502,35 +502,40 @@ object StreamOps {
   private[graft] def g13Run(s: SparkSession, dir: String)
       : (DataFrame, (Int, Int, Int)) = {
     import s.implicits._
+    import graft.sources.Roundtrip.{parquetFiles, compactionPlan}
     val out = StreamRunner.stagingRoot(s, "g13_")
     val tbl = s"$out/table"
     val ev = Tables.events(s, dir)
       .select($"event_id", $"user_id", $"event_type", $"value")
     val batches = (0 until 8).map(i => ev.filter(pmod($"event_id", lit(8)) === i))
-    def files(p: String): Array[java.io.File] =
-      Option(new java.io.File(p).listFiles())
-        .map(_.filter(_.getName.endsWith(".parquet")))
-        .getOrElse(Array.empty)
     var appended = 0
     var compactions = 0
     StreamRunner.runForeachFiles(s, batches) { (batch, _) =>
+      val before = parquetFiles(tbl).length
       batch.repartition(8).write.mode("append").parquet(tbl)
-      appended += 8
-      if (files(tbl).length >= CompactThreshold) {
+      // count what the append actually produced (empty shuffle
+      // partitions write no file), not the requested partition count
+      appended += parquetFiles(tbl).length - before
+      if (parquetFiles(tbl).length >= CompactThreshold) {
         // materialize BEFORE the overwrite deletes the files the lazy
         // plan would re-read (the g12 discipline)
         val all = s.read.parquet(tbl).localCheckpoint(true)
-        val bytes = files(tbl).map(_.length).sum
-        val rows = all.count()
-        val rowsPerFile =
-          math.max(1L, rows * (8L << 20) / math.max(1L, bytes))
-        val nOut = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+        val bytes = parquetFiles(tbl).map(_.length).sum
+        val (rowsPerFile, nOut) = compactionPlan(all.count(), bytes)
         all.repartition(nOut).write.mode("overwrite")
           .option("maxRecordsPerFile", rowsPerFile).parquet(tbl)
         compactions += 1
       }
     }
-    (s.read.parquet(tbl), (appended, compactions, files(tbl).length))
+    val nFinal = parquetFiles(tbl).length
+    // materialize the final table so the staged copy can be deleted
+    val result = s.read.parquet(tbl).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(out))
+    (result, (appended, compactions, nFinal))
   }
 
   val g13Sql: String =

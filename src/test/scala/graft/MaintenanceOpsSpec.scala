@@ -79,5 +79,6 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(table.count() == src.count())
     val cols = src.columns.toSeq
     assert(table.join(src, cols, "left_anti").count() == 0)
+    assert(src.join(table, cols, "left_anti").count() == 0)
   }
 }

@@ -322,7 +322,8 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == batch && got.size == e.count() * Similarity.NumSub)
   }
 
-  // raw 16-bit ADC ranks alone measure ~0.28 recall here — the re-rank
+  // raw ADC ranks alone measured ~0.28 recall here under an earlier,
+  // narrower code width — the re-rank
   // stage is what buys the rest (shortlist 4×TopK, then exact cosine)
   test("s6 PQ + exact re-rank reaches recall >= 0.7 vs brute force") {
     val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
