@@ -1106,9 +1106,42 @@ object Relational {
     s.sql(q45Sql)
   }
 
+  /** q46: TPC-H Q21 shape — suppliers who were the SOLE returned-flag
+    * supplier on multi-supplier orders: an EXISTS (another supplier
+    * shipped the order) and a NOT EXISTS (no OTHER supplier had a
+    * returned line) both correlated on the same self-joined fact table.
+    * Catalyst decorrelates the pair into a semi + anti join against
+    * lineitem keyed on orderkey — three co-partitioned shuffles of the
+    * same fact, no per-row subquery execution. Exact integer counts.
+    */
+  val q46Sql: String = """
+    SELECT s.s_name AS name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name"""
+
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q46Sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_market_share" -> q43, "q44_cust_distribution" -> q44,
-    "q45_lateral_topn" -> q45,
+    "q45_lateral_topn" -> q45, "q46_sole_supplier" -> q46,
     "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
     "q39_sliding_window" -> q39, "q40_skew_join" -> q40,
     "q41_histogram_quantile" -> q41, "q42_cohort_retention" -> q42,
@@ -1131,7 +1164,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q43_market_share" -> q43Sql, "q44_cust_distribution" -> q44Sql,
-    "q45_lateral_topn" -> q45Sql,
+    "q45_lateral_topn" -> q45Sql, "q46_sole_supplier" -> q46Sql,
     "q36_kmv_distinct" -> q36Sql,
     "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
     "q39_sliding_window" -> q39Sql, "q40_skew_join" -> q40Sql,

@@ -806,7 +806,60 @@ object TextOps {
         AS UBIGINT) < thr AS keep
     FROM toks JOIN rates USING (lang)"""
 
+  /** t21: BENCHMARK-CONTAMINATION CHECK — the decontamination pass every
+    * LLM data pipeline runs before training: for each held-out "test"
+    * document (doc_id ≡ 0 mod 10), the fraction of its word 5-gram
+    * shingles that appear ANYWHERE in the train split. Distinct from
+    * dedup: this is cross-split containment (any-overlap against a
+    * corpus-wide set), not pairwise similarity. Scale shape: shingles
+    * join on a 64-bit md5-prefix key — the train side is a distinct
+    * shingle-hash set (bounded by corpus vocabulary of n-grams), the join
+    * shuffles on the hash, and everything else is per-row; no all-pairs
+    * work. The ratio is one IEEE division of exact ints.
+    */
+  def t21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = withToks(Tables.documents(s, dir))
+      .select($"doc_id", explode(Text.shingles($"toks", 5)).as("sh"))
+      .select($"doc_id", substring(md5($"sh"), 1, 16).as("h"))
+    val train = sh.filter($"doc_id" % 10 =!= 0).select($"h").distinct()
+    val hits = sh.filter($"doc_id" % 10 === 0)
+      .join(train.withColumn("hit", lit(1)), Seq("h"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        count($"hit").cast("long").as("n_hit"))
+    Tables.documents(s, dir).filter($"doc_id" % 10 === 0)
+      .select($"doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"))
+      .withColumn("contamination",
+        when($"n_shingles" === 0, lit(0.0))
+          .otherwise($"n_hit".cast("double") / $"n_shingles"))
+  }
+
+  val t21Sql: String = s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(${TextSql.shingles("toks", 5)}) AS sh
+           FROM tok),
+    hs AS (SELECT doc_id, substring(md5(sh), 1, 16) AS h FROM sh),
+    train AS (SELECT DISTINCT h FROM hs WHERE doc_id % 10 <> 0),
+    agg AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(count(tr.h) AS BIGINT) AS n_hit
+      FROM (SELECT * FROM hs WHERE doc_id % 10 = 0) t
+      LEFT JOIN train tr ON t.h = tr.h
+      GROUP BY t.doc_id)
+    SELECT d.doc_id, coalesce(a.n_shingles, 0) AS n_shingles,
+      coalesce(a.n_hit, 0) AS n_hit,
+      CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0.0
+        ELSE CAST(a.n_hit AS DOUBLE) / a.n_shingles END AS contamination
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN agg a USING (doc_id)"""
+
   val queries: Map[String, Q] = Map(
+    "t21_contamination" -> t21,
     "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
     "t15_sequence_packing" -> t15, "t16_bpe_merges" -> t16,
     "t17_epoch_shuffle" -> t17, "t18_bpe_encode" -> t18,
@@ -817,6 +870,7 @@ object TextOps {
     "t10_repetition" -> t10, "t11_pii_scrub" -> t11, "t12_rare_words" -> t12)
 
   val oracles: Map[String, String] = Map(
+    "t21_contamination" -> t21Sql,
     "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
     "t15_sequence_packing" -> t15Sql, "t16_bpe_merges" -> t16Sql,
     "t17_epoch_shuffle" -> t17Sql, "t18_bpe_encode" -> t18Sql,

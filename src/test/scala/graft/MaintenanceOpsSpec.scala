@@ -68,6 +68,47 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(src.join(compacted, cols, "left_anti").count() == 0)
   }
 
+  test("q46 equals the window-count formulation of sole-R-supplier") {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+    val perOrder = li.groupBy($"l_orderkey".as("ok"))
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"l_returnflag" === "R", $"l_suppkey"))
+          .as("n_r_supp"))
+    val expect = li.filter($"l_returnflag" === "R")
+      .join(perOrder.filter($"n_supp" > 1 && $"n_r_supp" === 1),
+        $"l_orderkey" === $"ok")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .as[(String, Long)].collect().toMap
+    val got = operators.Relational.q46(s, d)
+      .as[(String, Long)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("t21 contamination matches a JVM set-containment reference") {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", graft.functions.Text.tokens($"text").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    def shOf(t: Seq[String]) =
+      if (t.size < 5) Seq.empty[String]
+      else (0 to t.size - 5).map(i => t.slice(i, i + 5).mkString(" "))
+    val train = docs.filter(_._1 % 10 != 0).flatMap(d0 => shOf(d0._2)).toSet
+    val expect = docs.filter(_._1 % 10 == 0).map { case (id, t) =>
+      val sh = shOf(t)
+      (id, (sh.size.toLong, sh.count(train).toLong))
+    }.toMap
+    val got = operators.TextOps.t21(s, d)
+      .select($"doc_id", $"n_shingles", $"n_hit")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, h) => (id, (n, h)) }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("g13 streaming ingest+compaction preserves content, bounds files") {
     val (table, (appended, compactions, finalFiles)) =
       streaming.StreamOps.g13Run(s, d)
