@@ -120,7 +120,10 @@ object Bench {
       "d12_dedup_rewrite", "t16_bpe_merges", "t17_epoch_shuffle",
       "t18_bpe_encode", "t19_doc_chunking", "s6_pq_ann",
       "g11_stream_pq_encode", "d13_span_dedup", "t20_mixture_sample",
-      "h6_merge_upsert", "g12_stream_upsert", "a13_log_compaction")
+      "h6_merge_upsert", "g12_stream_upsert", "a13_log_compaction",
+      "q43_market_share", "q44_cust_distribution", "q45_lateral_topn",
+      "q46_sole_supplier", "t21_contamination", "s7_pq_persist",
+      "h7_compaction", "h8_schema_evolution", "g13_stream_compaction")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

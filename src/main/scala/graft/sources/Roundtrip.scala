@@ -300,15 +300,49 @@ object Roundtrip {
 
   val h7Sql: String = "SELECT * FROM lineitem"
 
+  /** h8: SCHEMA EVOLUTION across file generations — the lake reality that
+    * a long-lived table's parquet files don't all share one schema: an
+    * early generation lacks a column a later generation added. The read
+    * merges footers (`mergeSchema`) into the union schema, null-filling
+    * the old files — the mechanism that lets a 100 TB table add a column
+    * without rewriting history. Old generation = even orderkeys (3 cols),
+    * new generation = odd orderkeys (+ o_orderpriority); the oracle
+    * replays the union with an explicit NULL fill.
+    */
+  def h8(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val out = tmp("graft_h8_")
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(out)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .localCheckpoint(true)
+    rmTree(out)
+    merged
+  }
+
+  val h8Sql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1"""
+
   val queries: Map[String, Q] = Map(
     "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
     "h3_orc_roundtrip" -> h3, "h4_partitioned_prune" -> h4,
     "h5_bucketed_join" -> h5, "h6_merge_upsert" -> h6,
-    "h7_compaction" -> h7)
+    "h7_compaction" -> h7, "h8_schema_evolution" -> h8)
 
   val oracles: Map[String, String] = Map(
     "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
     "h3_orc_roundtrip" -> h3Sql, "h4_partitioned_prune" -> h4Sql,
     "h5_bucketed_join" -> h5Sql, "h6_merge_upsert" -> h6Sql,
-    "h7_compaction" -> h7Sql)
+    "h7_compaction" -> h7Sql, "h8_schema_evolution" -> h8Sql)
 }

@@ -68,6 +68,24 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(src.join(compacted, cols, "left_anti").count() == 0)
   }
 
+  test("h8 merged read null-fills the old generation exactly") {
+    import s.implicits._
+    val merged = Roundtrip.h8(s, d)
+    val o = Tables.orders(s, d)
+    assert(merged.count() == o.count())
+    // every even-key row (old generation) has a null priority; every
+    // odd-key row carries its original value
+    assert(merged.filter($"o_orderkey" % 2 === 0 &&
+      $"o_orderpriority".isNotNull).count() == 0)
+    val oddGot = merged.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_orderpriority")
+      .as[(Long, String)].collect().toMap
+    val oddExp = o.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_orderpriority")
+      .as[(Long, String)].collect().toMap
+    assert(oddGot == oddExp)
+  }
+
   test("q46 equals the window-count formulation of sole-R-supplier") {
     import s.implicits._
     val li = Tables.lineitem(s, d)
