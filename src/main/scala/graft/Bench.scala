@@ -123,7 +123,8 @@ object Bench {
       "h6_merge_upsert", "g12_stream_upsert", "a13_log_compaction",
       "q43_market_share", "q44_cust_distribution", "q45_lateral_topn",
       "q46_sole_supplier", "t21_contamination", "s7_pq_persist",
-      "h7_compaction", "h8_schema_evolution", "g13_stream_compaction")
+      "h7_compaction", "h8_schema_evolution", "g13_stream_compaction",
+      "h9_incremental_view")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

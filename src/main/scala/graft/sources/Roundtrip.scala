@@ -334,13 +334,73 @@ object Roundtrip {
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
     FROM orders WHERE o_orderkey % 2 = 1"""
 
+  /** h9: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the per-status
+    * (count, exact-decimal total) view over the CDC-maintained orders
+    * table is refreshed from the change log WITHOUT re-aggregating the
+    * base: the stored partials (count + unrounded decimal sum per group)
+    * absorb signed adjustment rows (+1/price for inserts; -1/-old and
+    * +1/new under the respective statuses for updates; -1/-old for
+    * deletes, old values fetched by a broadcast key-join against the
+    * base). Decimal sums are exact, so merged partials ≡ a full
+    * recompute to the last bit — the DuckDB oracle IS the full recompute
+    * over the h6-merged table. At 100 TB this is the view-refresh shape:
+    * per-batch cost = |delta| + |group domain|, never the base table.
+    */
+  def h9(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(30, 10)
+    val base = cdcBase(s, dir)
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+    val latest = cdcDelta(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // the stored view: per-status count + UNROUNDED exact decimal sum
+    val baseAgg = base.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(dec)).as("tot"))
+    // signed adjustment rows from the resolved change log
+    val ins = latest.filter(col("op") === "I")
+      .select(col("o_orderstatus"), lit(1L).as("dc"),
+        col("o_totalprice").cast(dec).as("dv"))
+    val updNew = latest.filter(col("op") === "U")
+      .select(col("o_orderstatus"), lit(1L).as("dc"),
+        col("o_totalprice").cast(dec).as("dv"))
+    // old-value retractions for U and D: fetch the current row by key
+    // (broadcast the small delta side; the base is read once)
+    val retract = base
+      .join(broadcast(latest.filter(col("op").isin("U", "D"))
+        .select(col("o_orderkey"))), Seq("o_orderkey"))
+      .select(col("o_orderstatus"), lit(-1L).as("dc"),
+        (-col("o_totalprice")).cast(dec).as("dv"))
+    val adjAgg = ins.unionByName(updNew).unionByName(retract)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("dc")).as("acnt"), sum(col("dv")).as("atot"))
+    baseAgg.join(adjAgg, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("acnt"), lit(0L)))
+          .cast("long").as("n_orders"),
+        round(coalesce(col("tot"), lit(0).cast(dec)) +
+          coalesce(col("atot"), lit(0).cast(dec)), 2)
+          .cast("double").as("total"))
+      .filter(col("n_orders") > 0)
+  }
+
+  val h9Sql: String = s"""
+    WITH merged AS ($h6Sql)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+        AS total
+    FROM merged GROUP BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
+    "h9_incremental_view" -> h9,
     "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
     "h3_orc_roundtrip" -> h3, "h4_partitioned_prune" -> h4,
     "h5_bucketed_join" -> h5, "h6_merge_upsert" -> h6,
     "h7_compaction" -> h7, "h8_schema_evolution" -> h8)
 
   val oracles: Map[String, String] = Map(
+    "h9_incremental_view" -> h9Sql,
     "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
     "h3_orc_roundtrip" -> h3Sql, "h4_partitioned_prune" -> h4Sql,
     "h5_bucketed_join" -> h5Sql, "h6_merge_upsert" -> h6Sql,

@@ -86,6 +86,21 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(oddGot == oddExp)
   }
 
+  test("h9 incremental view refresh equals the full recompute") {
+    import s.implicits._
+    val full = Roundtrip.h6(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        round(sum($"o_totalprice"
+          .cast(org.apache.spark.sql.types.DecimalType(30, 10))), 2)
+          .cast("double").as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    val incr = Roundtrip.h9(s, d)
+      .as[(String, Long, Double)].collect().toSet
+    assert(incr == full)
+    assert(incr.nonEmpty)
+  }
+
   test("q46 equals the window-count formulation of sole-R-supplier") {
     import s.implicits._
     val li = Tables.lineitem(s, d)
