@@ -124,7 +124,7 @@ object Bench {
       "q43_market_share", "q44_cust_distribution", "q45_lateral_topn",
       "q46_sole_supplier", "t21_contamination", "s7_pq_persist",
       "h7_compaction", "h8_schema_evolution", "g13_stream_compaction",
-      "h9_incremental_view")
+      "h9_incremental_view", "g14_stream_view_refresh")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -541,7 +541,78 @@ object StreamOps {
   val g13Sql: String =
     "SELECT event_id, user_id, event_type, value FROM events"
 
+  /** g14: STREAMING INCREMENTAL VIEW MAINTENANCE — the continuous h9
+    * (the h9↔g14 steady-state pairing, closing the maintenance set
+    * d9↔g10, h6↔g12, s6↔g11, h7↔g13): the per-status (count,
+    * exact-decimal total) view partials update per CDC micro-batch from
+    * signed adjustment rows, while the base table itself is maintained
+    * alongside (g12's broadcast merge) so later batches retract CURRENT
+    * values, not stale ones. The driver holds only the view partials —
+    * bounded by the group domain (here 4 statuses; the codebook
+    * discipline), exact java BigDecimal arithmetic, rounded once at the
+    * end. Per-batch cost = |delta| + one broadcast-merge pass; the view
+    * is NEVER recomputed from the base — yet the oracle IS the full
+    * recompute over the h6-merged table, and the hash must match.
+    */
+  def g14(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Roundtrip
+    import java.math.BigDecimal
+    val out = StreamRunner.stagingRoot(s, "g14_")
+    val tbl = s"$out/table"
+    Roundtrip.cdcBase(s, dir).write.mode("overwrite").parquet(tbl)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+    // view partials: status -> (count, exact decimal total)
+    val view = scala.collection.mutable.HashMap.empty[String, (Long, BigDecimal)]
+    s.read.parquet(tbl).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"), sum(col("o_totalprice").cast(dec)).as("t"))
+      .collect().foreach { r =>
+        view(r.getString(0)) = (r.getLong(1), r.getDecimal(2))
+      }
+    val delta = Roundtrip.cdcDelta(s, dir)
+    StreamRunner.runForeachFiles(s,
+        Seq(delta.filter(col("seq") === 1),
+          delta.filter(col("seq") === 2))) { (batch, _) =>
+      val d = batch.localCheckpoint(true)
+      val cur = s.read.parquet(tbl)
+      val additions = d.filter(col("op").isin("I", "U"))
+        .select(col("o_orderstatus"), lit(1L).as("dc"),
+          col("o_totalprice").cast(dec).as("dv"))
+      val retract = cur
+        .join(broadcast(d.filter(col("op").isin("U", "D"))
+          .select(col("o_orderkey"))), Seq("o_orderkey"))
+        .select(col("o_orderstatus"), lit(-1L).as("dc"),
+          (-col("o_totalprice")).cast(dec).as("dv"))
+      additions.unionByName(retract)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("dc")).as("dc"), sum(col("dv")).as("dv"))
+        .collect().foreach { r => // bounded: <= |status domain| rows
+          val (c0, t0) = view.getOrElse(r.getString(0), (0L, BigDecimal.ZERO))
+          view(r.getString(0)) = (c0 + r.getLong(1), t0.add(r.getDecimal(2)))
+        }
+      // maintain the base table so the NEXT batch retracts current values
+      val merged = Roundtrip.applyCdc(cur, d).localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(tbl)
+    }
+    import s.implicits._
+    val rows = view.toSeq.collect { case (st, (c, t)) if c > 0 =>
+      (st, c, t.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    val result = rows.toDF("o_orderstatus", "n_orders", "total")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(out))
+    result
+  }
+
+  /** Sequential per-batch view updates ≡ the batch refresh ≡ the full
+    * recompute — the oracle is h9's.
+    */
+  val g14Sql: String = graft.sources.Roundtrip.h9Sql
+
   val queries: Map[String, Q] = Map(
+    "g14_stream_view_refresh" -> g14,
     "g13_stream_compaction" -> g13,
     "g9_stream_topk" -> g9, "g10_stream_ingest_dedup" -> g10,
     "g11_stream_pq_encode" -> g11, "g12_stream_upsert" -> g12,
@@ -551,6 +622,7 @@ object StreamOps {
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
+    "g14_stream_view_refresh" -> g14Sql,
     "g13_stream_compaction" -> g13Sql,
     "g9_stream_topk" -> g9Sql, "g10_stream_ingest_dedup" -> g10Sql,
     "g11_stream_pq_encode" -> g11Sql, "g12_stream_upsert" -> g12Sql,

@@ -101,6 +101,16 @@ class MaintenanceOpsSpec extends AnyFunSuite {
     assert(incr.nonEmpty)
   }
 
+  test("g14 streaming view refresh equals the batch h9 refresh") {
+    import s.implicits._
+    val batch = Roundtrip.h9(s, d)
+      .as[(String, Long, Double)].collect().toSet
+    val streamed = streaming.StreamOps.g14(s, d)
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q46 equals the window-count formulation of sole-R-supplier") {
     import s.implicits._
     val li = Tables.lineitem(s, d)
