@@ -4,7 +4,7 @@ import graft.operators.Similarity
 
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val s = GraftSession.get("local[8]")
+    val s = GraftSession.get("local[32]")
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     for (d <- dirs) {
