@@ -100,14 +100,21 @@ gen("documents", lambda i: f"""
            f"regexp_replace(text, '([A-Za-z0-9]+)', '{BS1}x{i}', 'g')"} AS text
         FROM {src('documents')})""")
 
-# sign-flip mask for copy i: flip dim d (1-based) iff (d * (i+2)) % 11 < 5
-# — i=0 keeps the identity-adjacent mask family distinct per copy and the
-# pattern composes with any earlier decade's rotation without collisions
+# sign-flip mask for copy i: flip dim d (1-based) iff
+# hash(d, i, VEC) is even. The decade-unique salt (VEC — the source key
+# span, which grows 10x per decade) makes the mask FAMILY different in
+# every decade: sign-flips commute (flip_i . flip_j = XOR of masks), so
+# an unsalted family applied across two decades would make copy (i,j)
+# and (j,i) exact duplicate embeddings under different vec_ids; with
+# per-decade pseudo-random masks an (i,j)/(i',j') collision needs
+# mask_i XOR mask_i' == mask_j XOR mask_j' across independent ~DIM-bit
+# masks — vanishing for DIM >= 64. i=0 keeps the pristine originals.
 gen("embeddings", lambda i: f"""
   SELECT vec_id + {i * VEC} AS vec_id,
          {"embedding" if i == 0 else
           f"CAST(list_transform(range(1, {DIM + 1}), d -> "
-          f"CASE WHEN (d * {i + 2}) % 11 < 5 THEN -embedding[d] "
+          f"CASE WHEN hash(d * 1000003 + {i} * 8191 + {VEC}) % 2 = 0 "
+          f"THEN -embedding[d] "
           f"ELSE embedding[d] END) AS FLOAT[]) AS embedding"},
          label FROM {src('embeddings')}""")
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Portable._
+import graft.plans.Hints
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -13,7 +14,10 @@ import org.apache.spark.sql.types.DecimalType
   * pushdown, pruning and join planning; aggregates follow the
   * [[graft.Portable]] decimal discipline so results hash-match DuckDB.
   *
-  * Scale posture: dims (region/nation/customer/supplier/part) are broadcast;
+  * Scale posture: fixed-size dims (region/nation) are broadcast
+  * unconditionally; corpus-proportional dims (customer/supplier) get a
+  * size-guarded hint ([[graft.plans.Hints.maybeBroadcast]]) so at 100 TB
+  * proportions they fall back to stats/AQE instead of an OOM-forcing hint;
   * fact-fact joins shuffle on their join key with AQE skew handling; windows
   * partition by high-cardinality keys; the only global sorts are final
   * post-aggregation top-Ns.
@@ -81,7 +85,7 @@ object Relational {
     val li = Tables.lineitem(s, dir)
       .filter($"l_shipdate" > lit("2000-01-01").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(Hints.maybeBroadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -121,8 +125,9 @@ object Relational {
     import s.implicits._
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Hints.maybeBroadcast(Tables.customer(s, dir)),
+        $"o_custkey" === $"c_custkey")
+      .join(Hints.maybeBroadcast(Tables.supplier(s, dir)),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
@@ -1030,8 +1035,8 @@ object Relational {
       .select($"s_suppkey", $"supp_nation")
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(Hints.maybeBroadcast(asiaCust), $"o_custkey" === $"c_custkey")
+      .join(Hints.maybeBroadcast(supp), $"l_suppkey" === $"s_suppkey")
       .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
       .groupBy(year($"o_orderdate").cast("long").as("yr"))
       .agg(

@@ -152,7 +152,9 @@ object Similarity {
     * ([[numPlanes]]), so bucket occupancy stays ~flat instead of a fixed
     * 64-bucket space that degenerates to N/3 per query — and because the
     * flips come from a FIXED-width weak-bit list, the probe budget is
-    * bounded (<= C(14,<=4) masks/table) no matter how large p grows.
+    * bounded (<= C(14,<=4) = 1,471 masks/table through 14 planes,
+    * <= C(14,<=5) = 3,473 at the radius-5 tier above) no matter how
+    * large p grows.
     * The probe explosion is on the BOUNDED query side only (the corpus
     * side emits exactly one bucket per table), so probing costs probe-set
     * size, never a corpus blowup. All four tables' buckets are computed

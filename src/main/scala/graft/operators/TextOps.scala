@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{Text, TextSql}
+import graft.plans.Hints
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -195,7 +196,12 @@ object TextOps {
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"token")
-    tf.join(broadcast(df), "token")
+    // df is vocabulary-sized — broadcastable for GB-scale corpora but not
+    // guaranteed at 100 TB (100M+ distinct tokens), so the hint is
+    // size-guarded; past the bound it shuffle-joins on token and the
+    // ReuseExchange structure (one tf shuffle feeding both branches)
+    // survives unchanged
+    tf.join(Hints.maybeBroadcast(df), "token")
       .crossJoin(broadcast(nDf))
       .withColumn("score", round($"tf" * log(($"n" * lit(1.0)) / $"df"), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -23,12 +23,16 @@ object Tables {
 
   /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (which Spark
     * rejects outright — [PARQUET_TYPE_ILLEGAL] — unless read as raw ns longs)
-    * or plain timestamp[us]. Enable the legacy nanos-as-long read (harmless
-    * for µs files) and dispatch on the loaded dtype, so either generation of
-    * the testdata loads to the same TimestampType µs values DuckDB sees.
+    * or plain timestamp[us] without tz. Enable the legacy nanos-as-long read
+    * (harmless for µs files) and disable NTZ inference so µs-without-tz
+    * columns land as TimestampType DIRECTLY IN THE SCAN (sessions pin UTC,
+    * so the values are exactly the µs DuckDB reads) — a post-scan
+    * NTZ→TZ cast projection measured 2× on the bare events scan
+    * (A3A6Probe: 0.055 s raw vs 0.119 s cast at sf0.1).
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/events.parquet")
   }
 

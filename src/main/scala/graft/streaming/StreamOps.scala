@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.plans.Hints
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -167,7 +168,9 @@ object StreamOps {
         AND c.ts <= v.ts + INTERVAL 10 MINUTE"""
 
   /** g4: stream-static join — the event stream enriched against the static
-    * customer dimension (broadcast; no streaming state needed).
+    * customer dimension (size-guarded broadcast — customer grows with the
+    * corpus, so past [[Hints.maybeBroadcast]]'s bound each micro-batch
+    * shuffle-joins instead; no streaming state needed).
     */
   def g4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -175,7 +178,7 @@ object StreamOps {
     val ev = Tables.events(s, dir).select($"event_id", $"user_id")
     StreamRunner.runFiles(s,
       Seq(ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))) { df =>
-      df.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      df.join(Hints.maybeBroadcast(cust), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
     }
   }

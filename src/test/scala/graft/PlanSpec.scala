@@ -27,6 +27,22 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p5).size >= 3, "q5 should broadcast dims")
   }
 
+  test("maybeBroadcast hints small plans and stands down on huge ones") {
+    import s.implicits._
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // the hint lives in the analyzed plan (the optimizer strips hints
+    // that aren't under a join), so assert there
+    val hinted = plans.Hints.maybeBroadcast(small)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"), hinted.take(300))
+    // spark.range carries exact 8-bytes/row Catalyst stats, so a
+    // 10^12-row range is a plan-time "this is terabytes" signal with no
+    // job run — the guard must NOT hint it (AQE would decide at runtime)
+    val huge = plans.Hints.maybeBroadcast(s.range(1000000000000L).toDF())
+      .queryExecution.analyzed.toString
+    assert(!huge.contains("ResolvedHint"), huge.take(300))
+  }
+
   test("q1 uses hash aggregation with map-side partial aggregation") {
     val p = plan(Relational.q1(s, d))
     assert(p.contains("HashAggregate"))
