@@ -817,11 +817,28 @@ object Dedup {
     * duplicated-token count, longest span and duplicated fraction — the
     * signal the pipeline thresholds to drop or trim documents.
     *
-    * Scale shape: one tokenize scan (~ntok windows/doc, 8× d7's hash work,
-    * still linear), one hash-groupBy for the occurrence counts, one
-    * equi-join back on the window hash, and the island merge windows
-    * partition by doc_id (high-cardinality) — no all-pairs, no global
-    * sort, the suffix-array result computed with pure data-parallel ops.
+    * Scale shape: one tokenize scan (~ntok windows/doc, still linear),
+    * one hash-groupBy for the occurrence counts, one equi-join back on
+    * the window hash, and the island merge windows partition by doc_id
+    * (high-cardinality) — no all-pairs, no global sort, the suffix-array
+    * result computed with pure data-parallel ops.
+    *
+    * Window hashing is [[graft.functions.WindowPolyHash]] — a native
+    * codegen expression, not an md5 per window: each token is digested
+    * ONCE (h1/h2 = independent sub-2^31 universal hashes of its md5
+    * words, packed `h1<<31 | h2`), and each stride-1 window folds its
+    * [[SegTokens]] packed words with two parallel `acc*B + h mod M`
+    * chains — pure 64-bit arithmetic, exact in both engines
+    * (intermediates < 2^62, replayed by the oracle's `list_reduce`
+    * twin). The md5-per-window version this replaces built a ~50-char
+    * string AND ran a full digest for every window. The window key is
+    * one BIGINT (62 effective bits) instead of a 32-char hex string, so
+    * the dup-count groupBy and the join back ship 8-byte keys. 62-bit
+    * false-dup odds: ~n²/2^63 pairs — at 10^10 windows (a ~TB corpus
+    * shard) that is ~1% of windows flagged spuriously, the same order
+    * as Lee et al.'s 64-bit fingerprints; the thresholded per-doc
+    * SIGNAL (dup fraction over >= k-token spans) is insensitive to
+    * isolated false windows.
     */
   def d13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -830,10 +847,7 @@ object Dedup {
     val base = Tables.documents(s, dir)
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id", size($"toks").cast("long").as("ntok"),
-        when(size($"toks") >= k,
-          transform(sequence(lit(0), size($"toks") - k),
-            i => md5(concat_ws(" ", slice($"toks", i + 1, lit(k))))))
-          .otherwise(array().cast("array<string>")).as("whs"))
+        graft.functions.WindowPolyHash($"toks", k).as("whs"))
       // feeds the window explode AND the final per-doc join — one scan
       .localCheckpoint(false)
     val wins = base.select($"doc_id", posexplode($"whs"))
@@ -866,16 +880,29 @@ object Dedup {
           .otherwise(0.0).as("dup_frac"))
   }
 
-  val d13Sql: String = s"""
+  val d13Sql: String = {
+    import graft.functions.{WindowPolyHash => W}
+    s"""
     WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
     base AS MATERIALIZED (
-      SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok, toks FROM tok),
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+        list_transform(toks, t ->
+          (((CAST(('0x'||substring(md5(t),1,8))::UBIGINT AS BIGINT) * ${W.P11}
+            + CAST(('0x'||substring(md5(t),9,8))::UBIGINT AS BIGINT) * ${W.P12}
+            + ${W.C1}) % ${W.M1}) << 31)
+          + ((CAST(('0x'||substring(md5(t),1,8))::UBIGINT AS BIGINT) * ${W.P21}
+            + CAST(('0x'||substring(md5(t),9,8))::UBIGINT AS BIGINT) * ${W.P22}
+            + ${W.C2}) % ${W.M2})) AS th
+      FROM tok),
     win AS MATERIALIZED (
       SELECT doc_id, u.p, u.wh FROM (
         SELECT doc_id, unnest(list_transform(
           range(0, CAST(greatest(ntok - $SegTokens + 1, 0) AS INT)),
-          i -> struct_pack(p := i, wh := md5(array_to_string(
-            toks[i+1 : i+$SegTokens], ' '))))) AS u
+          i -> struct_pack(p := i, wh := list_reduce(
+            [0::BIGINT] || th[i+1 : i+$SegTokens], (a, b) ->
+              ((((a >> 31) * ${W.B1} + (b >> 31)) % ${W.M1}) << 31)
+              + (((a & 2147483647) * ${W.B2}
+                 + (b & 2147483647)) % ${W.M2}))))) AS u
         FROM base)),
     dup AS (SELECT doc_id, p FROM win WHERE wh IN (
       SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2)),
@@ -899,6 +926,7 @@ object Dedup {
         THEN round(COALESCE(pd.dup_tokens, 0) * 1.0 / b.ntok, 6)
         ELSE 0.0 END AS dup_frac
     FROM base b LEFT JOIN pd USING (doc_id)"""
+  }
 
   val queries: QM = Map(
     "d8_decontamination" -> d8, "d9_incremental_dedup" -> d9,

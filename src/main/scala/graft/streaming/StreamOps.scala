@@ -549,12 +549,16 @@ object StreamOps {
     * d9↔g10, h6↔g12, s6↔g11, h7↔g13): the per-status (count,
     * exact-decimal total) view partials update per CDC micro-batch from
     * signed adjustment rows, while the base table itself is maintained
-    * alongside (g12's broadcast merge) so later batches retract CURRENT
-    * values, not stale ones. The driver holds only the view partials —
-    * bounded by the group domain (here 4 statuses; the codebook
-    * discipline), exact java BigDecimal arithmetic, rounded once at the
-    * end. Per-batch cost = |delta| + one broadcast-merge pass; the view
-    * is NEVER recomputed from the base — yet the oracle IS the full
+    * alongside in g12's hash-partitioned layout (bucket =
+    * orderkey mod [[UpsertBuckets]], dynamic partition overwrite) so
+    * later batches retract CURRENT values, not stale ones. The driver
+    * holds only the view partials — bounded by the group domain (here 4
+    * statuses; the codebook discipline), exact java BigDecimal
+    * arithmetic, rounded once at the end. Per-batch cost = |delta| + the
+    * TOUCHED base partitions only (both the retract join's scan and the
+    * merge rewrite prune to the batch's buckets — at 100 TB a batch
+    * touching 0.1% of buckets reads and rewrites 0.1% of the base); the
+    * view is NEVER recomputed from the base — yet the oracle IS the full
     * recompute over the h6-merged table, and the hash must match.
     */
   def g14(s: SparkSession, dir: String): DataFrame = {
@@ -562,7 +566,9 @@ object StreamOps {
     import java.math.BigDecimal
     val out = StreamRunner.stagingRoot(s, "g14_")
     val tbl = s"$out/table"
-    Roundtrip.cdcBase(s, dir).write.mode("overwrite").parquet(tbl)
+    val bucketOf = pmod(col("o_orderkey"), lit(UpsertBuckets)).cast("int")
+    Roundtrip.cdcBase(s, dir).withColumn("bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("bucket").parquet(tbl)
     val dec = org.apache.spark.sql.types.DecimalType(30, 10)
     // view partials: status -> (count, exact decimal total)
     val view = scala.collection.mutable.HashMap.empty[String, (Long, BigDecimal)]
@@ -572,29 +578,44 @@ object StreamOps {
         view(r.getString(0)) = (r.getLong(1), r.getDecimal(2))
       }
     val delta = Roundtrip.cdcDelta(s, dir)
-    StreamRunner.runForeachFiles(s,
-        Seq(delta.filter(col("seq") === 1),
-          delta.filter(col("seq") === 2))) { (batch, _) =>
-      val d = batch.localCheckpoint(true)
-      val cur = s.read.parquet(tbl)
-      val additions = d.filter(col("op").isin("I", "U"))
-        .select(col("o_orderstatus"), lit(1L).as("dc"),
-          col("o_totalprice").cast(dec).as("dv"))
-      val retract = cur
-        .join(broadcast(d.filter(col("op").isin("U", "D"))
-          .select(col("o_orderkey"))), Seq("o_orderkey"))
-        .select(col("o_orderstatus"), lit(-1L).as("dc"),
-          (-col("o_totalprice")).cast(dec).as("dv"))
-      additions.unionByName(retract)
-        .groupBy(col("o_orderstatus"))
-        .agg(sum(col("dc")).as("dc"), sum(col("dv")).as("dv"))
-        .collect().foreach { r => // bounded: <= |status domain| rows
-          val (c0, t0) = view.getOrElse(r.getString(0), (0L, BigDecimal.ZERO))
-          view(r.getString(0)) = (c0 + r.getLong(1), t0.add(r.getDecimal(2)))
-        }
-      // maintain the base table so the NEXT batch retracts current values
-      val merged = Roundtrip.applyCdc(cur, d).localCheckpoint(true)
-      merged.write.mode("overwrite").parquet(tbl)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      StreamRunner.runForeachFiles(s,
+          Seq(delta.filter(col("seq") === 1),
+            delta.filter(col("seq") === 2))) { (batch, _) =>
+        val d = batch.localCheckpoint(true)
+        val touched = d.select(bucketOf.as("bucket")).distinct()
+          .collect().map(_.getInt(0)) // bounded: <= UpsertBuckets ids
+        // every key in d lives in a touched bucket, so pruning the base
+        // scan to them preserves both the retract join and the merge
+        val cur = s.read.parquet(tbl)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        val additions = d.filter(col("op").isin("I", "U"))
+          .select(col("o_orderstatus"), lit(1L).as("dc"),
+            col("o_totalprice").cast(dec).as("dv"))
+        val retract = cur
+          .join(broadcast(d.filter(col("op").isin("U", "D"))
+            .select(col("o_orderkey"))), Seq("o_orderkey"))
+          .select(col("o_orderstatus"), lit(-1L).as("dc"),
+            (-col("o_totalprice")).cast(dec).as("dv"))
+        additions.unionByName(retract)
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("dc")).as("dc"), sum(col("dv")).as("dv"))
+          .collect().foreach { r => // bounded: <= |status domain| rows
+            val (c0, t0) = view.getOrElse(r.getString(0), (0L, BigDecimal.ZERO))
+            view(r.getString(0)) = (c0 + r.getLong(1), t0.add(r.getDecimal(2)))
+          }
+        // maintain the base so the NEXT batch retracts current values —
+        // materialize the merged partitions BEFORE the dynamic overwrite
+        // deletes the files the lazy plan would re-read (g12 discipline)
+        val merged = Roundtrip.applyCdc(cur.drop("bucket"), d)
+          .withColumn("bucket", bucketOf).localCheckpoint(true)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tbl)
+      }
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     import s.implicits._
     val rows = view.toSeq.collect { case (st, (c, t)) if c > 0 =>

@@ -42,6 +42,39 @@ class FunctionsSpec extends AnyFunSuite {
       ref.orderBy($"g").collect().toSeq)
   }
 
+  test("WindowPolyHash matches the declarative digest-word fold bit-for-bit") {
+    import s.implicits._
+    import graft.functions.{WindowPolyHash => W}
+    val k = 3
+    val docs = Seq(
+      (1L, Seq("the", "quick", "brown", "fox", "jumps")),
+      (2L, Seq("a", "b")),              // shorter than k -> empty
+      (3L, Seq("x", "y", "z")),         // exactly k -> one window
+      (4L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val got = docs.select($"id", W($"toks", k).as("whs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference: the same chain via Spark's own md5/conv expressions
+    val ths = docs.select($"id", transform(transform($"toks", t => md5(t)), m =>
+      shiftleft((conv(substring(m, 1, 8), 16, 10).cast("long") * W.P11 +
+        conv(substring(m, 9, 8), 16, 10).cast("long") * W.P12 + W.C1) % W.M1, 31) +
+      (conv(substring(m, 1, 8), 16, 10).cast("long") * W.P21 +
+        conv(substring(m, 9, 8), 16, 10).cast("long") * W.P22 + W.C2) % W.M2)
+      .as("th"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def fold(th: Seq[Long]): Seq[Long] =
+      if (th.length < k) Seq.empty
+      else (0 to th.length - k).map { i =>
+        th.slice(i, i + k).foldLeft(0L) { (acc, e) =>
+          (((acc >>> 31) * W.B1 + (e >>> 31)) % W.M1 << 31) |
+            ((acc & 2147483647L) * W.B2 + (e & 2147483647L)) % W.M2
+        }
+      }
+    got.foreach { case (id, whs) => assert(whs == fold(ths(id)), s"doc $id") }
+    assert(got(1L).length == 3 && got(2L).isEmpty &&
+      got(3L).length == 1 && got(4L).isEmpty)
+  }
+
   test("graft_cosine is registered for SQL via GraftExtensions") {
     Tables.embeddings(s, d).limit(10).createOrReplaceTempView("emb_fs")
     val n = s.sql(
