@@ -77,6 +77,37 @@ object TextSql {
 
   def stopwordHits(toksExpr: String, stops: Seq[String]): String =
     s"len(list_filter($toksExpr, t -> list_contains(${stopList(stops)}, t)))"
+
+  /** DuckDB twins of [[WindowPolyHash]]'s arithmetic — shared by the
+    * d13/t10/t12/t13 oracles so the constants can never drift from the
+    * native expression (they interpolate from the same object).
+    */
+  def packedTokenHash(tExpr: String): String = {
+    import graft.functions.{WindowPolyHash => W}
+    def w(off: Int) = s"CAST(('0x'||substring(md5($tExpr),$off,8))::UBIGINT AS BIGINT)"
+    s"((((${w(1)} * ${W.P11} + ${w(9)} * ${W.P12} + ${W.C1}) % ${W.M1}) << 31) + " +
+      s"((${w(1)} * ${W.P21} + ${w(9)} * ${W.P22} + ${W.C2}) % ${W.M2}))"
+  }
+
+  /** Per-token packed-hash list for a token-array expression. */
+  def tokenHashes(toksExpr: String): String =
+    s"list_transform($toksExpr, t -> ${packedTokenHash("t")})"
+
+  /** The two-chain window fold lambda over packed token hashes. */
+  def windowFoldLambda: String = {
+    import graft.functions.{WindowPolyHash => W}
+    s"""(a, b) -> ((((a >> 31) * ${W.B1} + (b >> 31)) % ${W.M1}) << 31)
+      + (((a & 2147483647) * ${W.B2} + (b & 2147483647)) % ${W.M2})"""
+      .linesIterator.map(_.trim).mkString(" ")
+  }
+
+  /** All stride-1 k-window hashes of a packed-token-hash list —
+    * element-for-element equal to `WindowPolyHash(toks, k)`.
+    */
+  def windowHashes(thExpr: String, k: Int): String =
+    s"""list_transform(range(0, CAST(greatest(len($thExpr) - $k + 1, 0) AS INT)),
+      i -> list_reduce([0::BIGINT] || ($thExpr)[i+1 : i+$k], $windowFoldLambda))"""
+      .linesIterator.map(_.trim).mkString(" ")
 }
 
 /** Shared 128-bit SimHash spec over md5 hex nibbles (the full digest = 32

@@ -880,29 +880,19 @@ object Dedup {
           .otherwise(0.0).as("dup_frac"))
   }
 
-  val d13Sql: String = {
-    import graft.functions.{WindowPolyHash => W}
-    s"""
+  val d13Sql: String = s"""
     WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
     base AS MATERIALIZED (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
-        list_transform(toks, t ->
-          (((CAST(('0x'||substring(md5(t),1,8))::UBIGINT AS BIGINT) * ${W.P11}
-            + CAST(('0x'||substring(md5(t),9,8))::UBIGINT AS BIGINT) * ${W.P12}
-            + ${W.C1}) % ${W.M1}) << 31)
-          + ((CAST(('0x'||substring(md5(t),1,8))::UBIGINT AS BIGINT) * ${W.P21}
-            + CAST(('0x'||substring(md5(t),9,8))::UBIGINT AS BIGINT) * ${W.P22}
-            + ${W.C2}) % ${W.M2})) AS th
+        ${TextSql.tokenHashes("toks")} AS th
       FROM tok),
     win AS MATERIALIZED (
       SELECT doc_id, u.p, u.wh FROM (
         SELECT doc_id, unnest(list_transform(
           range(0, CAST(greatest(ntok - $SegTokens + 1, 0) AS INT)),
           i -> struct_pack(p := i, wh := list_reduce(
-            [0::BIGINT] || th[i+1 : i+$SegTokens], (a, b) ->
-              ((((a >> 31) * ${W.B1} + (b >> 31)) % ${W.M1}) << 31)
-              + (((a & 2147483647) * ${W.B2}
-                 + (b & 2147483647)) % ${W.M2}))))) AS u
+            [0::BIGINT] || th[i+1 : i+$SegTokens],
+            ${TextSql.windowFoldLambda})))) AS u
         FROM base)),
     dup AS (SELECT doc_id, p FROM win WHERE wh IN (
       SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2)),
@@ -926,7 +916,6 @@ object Dedup {
         THEN round(COALESCE(pd.dup_tokens, 0) * 1.0 / b.ntok, 6)
         ELSE 0.0 END AS dup_frac
     FROM base b LEFT JOIN pd USING (doc_id)"""
-  }
 
   val queries: QM = Map(
     "d8_decontamination" -> d8, "d9_incremental_dedup" -> d9,

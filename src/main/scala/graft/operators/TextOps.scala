@@ -44,22 +44,31 @@ object TextOps {
   private def t2Of(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val nTok = size($"toks")
-    val punct = length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))
+    // native code-point class count — exactly the characters the oracle's
+    // regexp_replace removes, without the regex engine (T2Anatomy: the
+    // punct regex was t2's hottest kernel at 1.5 s/sf1; the native count
+    // is a byte scan)
+    val punct = graft.functions.PunctCount($"text")
     val punctRatio = when(length($"text") > 0,
       punct * lit(1.0) / length($"text")).otherwise(0.0)
     val stopRatio = when(nTok > 0,
       Text.stopwordHits($"toks", Text.enStops) * lit(1.0) / nTok).otherwise(0.0)
-    val quality = least(lit(1.0), nTok / lit(100.0)) * 0.3 +
-      stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3
     // floor-truncation, not round(): the inputs are bitwise-identical
     // doubles in both engines, so floor is deterministic, while round()
     // diverges on exact .XXXX5 ties (dyadic ratios like 7/64 produce them)
     def trunc4(c: org.apache.spark.sql.Column) =
       (floor(c * 10000) / 10000.0).cast("double")
+    // two-stage projection (the oracle's m-CTE shape): quality reads the
+    // BOUND raw-ratio attributes — inlined, the punct regex and the
+    // interpreted stopword HOF each evaluated twice per row (once for
+    // the emitted ratio, once inside quality)
     docs.select($"doc_id", nTok.cast("long").as("n_tokens"),
-      trunc4(punctRatio).as("punct_ratio"),
-      trunc4(stopRatio).as("stop_ratio"),
-      trunc4(quality).as("quality"))
+        punctRatio.as("praw"), stopRatio.as("sraw"))
+      .select($"doc_id", $"n_tokens",
+        trunc4($"praw").as("punct_ratio"),
+        trunc4($"sraw").as("stop_ratio"),
+        trunc4(least(lit(1.0), $"n_tokens" / lit(100.0)) * 0.3 +
+          $"sraw" * 0.4 + (lit(1.0) - $"praw") * 0.3).as("quality"))
   }
 
   val t2Sql: String = {
@@ -258,10 +267,16 @@ object TextOps {
     t10Of(withToks(Tables.documents(s, dir)))
 
   /** [[t10]] over a pre-tokenized base. */
+  /** [[t10]]'s shingles are 62-bit [[graft.functions.WindowPolyHash]]
+    * keys, not strings: the distinct count is over packed hashes (native
+    * codegen, no interpreted string-shingle HOF — measured 1.4 s + 1.7 s
+    * for build+distinct at sf1), with the oracle replaying the identical
+    * arithmetic. Collision odds per doc: ~n_shingles²/2^63 — nil.
+    */
   private def t10Of(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .withColumn("sh", Text.shingles($"toks"))
+      .withColumn("sh", graft.functions.WindowPolyHash($"toks", 3))
       .select($"doc_id",
         size($"sh").cast("long").as("n_shingles"),
         size(array_distinct($"sh")).cast("long").as("n_distinct"))
@@ -272,7 +287,8 @@ object TextOps {
 
   val t10Sql: String = s"""
     WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
-    sh AS (SELECT doc_id, ${TextSql.shingles("toks")} AS sh FROM tok)
+    sh AS (SELECT doc_id,
+      ${TextSql.windowHashes(TextSql.tokenHashes("toks"), 3)} AS sh FROM tok)
     SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
       CASE WHEN len(sh) = 0 THEN 0.0
@@ -337,10 +353,15 @@ object TextOps {
     t12Of(withToks(Tables.documents(s, dir)))
 
   /** [[t12]] over a pre-tokenized base. */
+  /** [[t12]]'s frequency key is the packed 62-bit token hash (k=1 window
+    * = the per-token hash itself): the corpus-wide explode, frequency
+    * groupBy and join back all ship 8-byte longs instead of token
+    * strings; the oracle replays the identical hashing.
+    */
   private def t12Of(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = docs
-      .select($"doc_id", explode($"toks").as("w"))
+      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 1)).as("w"))
       .localCheckpoint(false)
     val freq = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
     toks.join(freq, "w")
@@ -352,7 +373,8 @@ object TextOps {
   }
 
   val t12Sql: String = s"""
-    WITH tok AS (SELECT doc_id, unnest(${TextSql.toks}) AS w FROM documents),
+    WITH tok AS (SELECT doc_id,
+      unnest(${TextSql.tokenHashes(TextSql.toks)}) AS w FROM documents),
     freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       CAST(sum(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
@@ -375,11 +397,11 @@ object TextOps {
   /** [[t13]] over a pre-tokenized base. */
   private def t13Of(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val bgArr = when(size($"toks") >= 2,
-      transform(sequence(lit(1), size($"toks") - 1),
-        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val bg = docs.select($"doc_id", explode(bgArr).as("bg"))
+    // bigram key = 62-bit packed window hash (k=2), native codegen — the
+    // corpus explode/groupBy/join ship longs, not bigram strings, and the
+    // interpreted element_at+concat HOF is gone; oracle replays it
+    val bg = docs
+      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 2)).as("bg"))
       .localCheckpoint(false)
     val freq = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
     val perDoc = bg.join(freq, "bg")
@@ -397,8 +419,7 @@ object TextOps {
   val t13Sql: String = s"""
     WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
     bg AS (SELECT doc_id,
-        unnest(list_transform(range(1, CAST(len(toks) AS INT)),
-          i -> toks[i] || ' ' || toks[i+1])) AS bg
+        unnest(${TextSql.windowHashes(TextSql.tokenHashes("toks"), 2)}) AS bg
       FROM tok),
     freq AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
     pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,

@@ -75,6 +75,19 @@ class FunctionsSpec extends AnyFunSuite {
       got(3L).length == 1 && got(4L).isEmpty)
   }
 
+  test("PunctCount equals the regex removed-char count, incl. non-ASCII") {
+    import s.implicits._
+    val rows = Seq("hello, world!", "", "   ", "a1B2 c3",
+      "naïve café — ¡holá! ünïcødé", "tabs\tand\nnewlines",
+      "emoji 😀 and 中文 chars", "1+1=2; x<y>z")
+      .toDF("text")
+    val got = rows.select(graft.functions.PunctCount($"text").as("p"),
+      (length($"text") -
+        length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).as("r"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("graft_cosine is registered for SQL via GraftExtensions") {
     Tables.embeddings(s, d).limit(10).createOrReplaceTempView("emb_fs")
     val n = s.sql(
