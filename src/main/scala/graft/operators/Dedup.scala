@@ -389,13 +389,17 @@ object Dedup {
     * loop). Shared by [[d6]] (text near-dup groups) and [[d11]]
     * (embedding-space components).
     */
-  /** Edge-count ceiling for the driver union-find fast path: 200k pairs
-    * (~3 MB of longs) is far under broadcast-table size, and LSH-candidate
-    * graphs at gate SFs are orders of magnitude smaller. Past it the
-    * distributed doubling loop runs — the only shape that holds when the
-    * dup graph itself is cluster-sized.
+  /** Edge-count ceiling for the driver union-find fast path: 4M pairs =
+    * 64 MB of longs — comfortably under broadcast-table size and a
+    * fraction of any driver heap, while LSH-candidate graphs at gate SFs
+    * are orders of magnitude smaller. (Raised from 200k in round 10: the
+    * sf10 a8 conflict graph is ~1M edges, and the distributed doubling
+    * loop paid 8 s of per-round job overhead for a graph the driver
+    * unions in well under a second.) Past it the distributed loop runs —
+    * the only shape that holds when the dup graph itself is
+    * cluster-sized.
     */
-  val LocalComponentsMaxEdges = 200000L
+  val LocalComponentsMaxEdges = 4000000L
 
   def componentsOf(pairs: DataFrame,
       maxLocalEdges: Long = LocalComponentsMaxEdges): DataFrame = {

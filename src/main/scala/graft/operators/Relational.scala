@@ -1144,7 +1144,44 @@ object Relational {
     s.sql(q46Sql)
   }
 
+  /** Per-order quantity floor for [[q47]] (~0.15% of orders clear it). */
+  val Q47MinQty = 250.0
+
+  /** q47: TPC-H Q18 shape — large-volume customers. The HAVING subquery
+    * and the output's qty column come from ONE lineitem aggregate (the
+    * classic Q18 plan rewrite: aggregate-then-join instead of
+    * IN-subquery + re-aggregate), shuffled once on orderkey; orders joins
+    * on the same key; customer is a size-guarded broadcast. The only
+    * global sort is the final top-100.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qty = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > Q47MinQty)
+    qty.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Hints.maybeBroadcast(
+        Tables.customer(s, dir).select($"c_custkey", $"c_name")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q47Sql: String = s"""
+    WITH qty AS (
+      SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ${dsumSql("l_quantity")} > $Q47MinQty)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM qty JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
   val queries: Map[String, Q] = Map(
+    "q47_big_orders" -> q47,
     "q43_market_share" -> q43, "q44_cust_distribution" -> q44,
     "q45_lateral_topn" -> q45, "q46_sole_supplier" -> q46,
     "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
@@ -1170,6 +1207,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q43_market_share" -> q43Sql, "q44_cust_distribution" -> q44Sql,
     "q45_lateral_topn" -> q45Sql, "q46_sole_supplier" -> q46Sql,
+    "q47_big_orders" -> q47Sql,
     "q36_kmv_distinct" -> q36Sql,
     "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
     "q39_sliding_window" -> q39Sql, "q40_skew_join" -> q40Sql,

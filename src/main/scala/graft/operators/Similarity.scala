@@ -712,6 +712,17 @@ object Similarity {
     val queries = e.filter($"vec_id" < NumQueries)
       .select($"vec_id", $"emb").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    s6QueryFor(s, e, codes, cents, queries)
+  }
+
+  /** [[s6Query]] for an EXPLICIT query set — the serving path `g15`
+    * drives per streaming micro-batch (each batch's queries are
+    * independent, so batched union ≡ the full run).
+    */
+  private[graft] def s6QueryFor(s: SparkSession, e: DataFrame,
+      codes: DataFrame, cents: Array[Array[Array[Double]]],
+      queries: Array[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
     val lutRows = queries.toSeq.flatMap { case (qid, qe) =>
       (0 until NumSub).flatMap { m =>
         (0 until SubK).map { cid =>

@@ -206,20 +206,28 @@ object TxnQueries {
   def multiKeyWorkloadDS(s: SparkSession, dir: String)
       : Dataset[TxnEngine.Txn] = {
     import s.implicits._
+    // declarative struct-building (not a typed .map closure): the whole
+    // workload derivation stays inside whole-stage codegen — the closure
+    // version paid ~6 s of per-row encode/decode at sf10's 500k txns —
+    // and Option[String] decodes from the nullable valueOption field
+    val kvType = "array<struct<key:string,valueOption:string>>"
+    def kv(key: org.apache.spark.sql.Column,
+        value: org.apache.spark.sql.Column) =
+      struct(key.as("key"), value.as("valueOption"))
+    val nullStr = lit(null).cast("string")
     Tables.events(s, dir)
       .filter($"event_id" % 20 === 0)
-      .select($"event_id", $"user_id", floor($"value" * 100).cast("long"))
-      .as[(Long, Long, Long)]
-      .map { case (eid, uid, v) =>
-        val k1 = s"u${uid % 50}"
-        val k2 = s"e${eid % 97}"
-        val asserts =
-          if (v % 2 == 0) Seq(TxnEngine.KeyValueOption(k1, None)) else Seq.empty
-        val updates = Seq(
-          TxnEngine.KeyValueOption(k1, Some(v.toString)),
-          TxnEngine.KeyValueOption(k2, if (v % 5 == 0) None else Some(v.toString)))
-        TxnEngine.Txn(eid, asserts, updates)
-      }
+      .select($"event_id".as("txnId"),
+        concat(lit("u"), ($"user_id" % 50).cast("string")).as("k1"),
+        concat(lit("e"), ($"event_id" % 97).cast("string")).as("k2"),
+        floor($"value" * 100).cast("long").as("v"))
+      .select($"txnId",
+        when($"v" % 2 === 0, array(kv($"k1", nullStr)))
+          .otherwise(array().cast(kvType)).as("asserts"),
+        array(kv($"k1", $"v".cast("string")),
+          kv($"k2", when($"v" % 5 === 0, nullStr)
+            .otherwise($"v".cast("string")))).as("updates"))
+      .as[TxnEngine.Txn]
   }
 
   /** Driver-side copy for spec oracles. */

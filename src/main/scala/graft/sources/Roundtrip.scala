@@ -392,7 +392,74 @@ object Roundtrip {
         AS total
     FROM merged GROUP BY o_orderstatus"""
 
+  /** Interleaved-bit z-order key over two [0, 255] bucket ids — the
+    * multi-dimensional clustering key behind `OPTIMIZE ... ZORDER BY`:
+    * consecutive z values differ in few low bits of EITHER dimension, so
+    * sorting by z gives every file/row-group a small (u, v) bounding box
+    * and parquet min/max stats prune on BOTH columns. Unrolled bit ops —
+    * stays inside whole-stage codegen, no HOF.
+    */
+  private[graft] def zOrderKey(ub: org.apache.spark.sql.Column,
+      vb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until 8).map { i =>
+      shiftleft(shiftright(ub, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(vb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The h10 box predicate bounds, shared by the Spark query and (same
+    * integer arithmetic) the oracle: the middle [span/4, span/2] slice of
+    * the user domain × values >= [[H10MinValue]].
+    */
+  val H10MinValue = 200.0
+
+  /** h10: Z-ORDER LAYOUT + 2-D DATA SKIPPING — events rewritten clustered
+    * by the interleaved (user bucket, value bucket) key
+    * (repartitionByRange on z + sort within partitions), then read back
+    * through a two-dimensional box predicate. Both predicates reach the
+    * scan (`PushedFilters`), and because z-clustering gives every file
+    * and row group a tight box in BOTH dimensions, parquet min/max stats
+    * skip the files/row-groups outside the box — the mechanism that makes
+    * a 2-D selective query on a 100 TB table read only the matching
+    * stripes, where a single-column sort would only prune one dimension.
+    * (At gate SF each file is one row group, so the pruning is asserted
+    * structurally in LayoutSpec: per-file user_id ranges are fractions of
+    * the domain.) The oracle replays the identical box over the original
+    * table — content must be layout-invariant.
+    */
+  def h10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = tmp("graft_zorder_")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val r = ev.agg(min("user_id"), max("user_id"),
+      min("value"), max("value")).head()
+    val (umin, umax) = (r.getLong(0), r.getLong(1))
+    val (vmin, vmax) = (r.getDouble(2), r.getDouble(3))
+    val uspan = math.max(umax - umin, 1L)
+    val vspan = math.max(vmax - vmin, 1e-9)
+    val ub = least(floor((col("user_id") - umin) * 256 / (uspan + 1)), lit(255L))
+    val vb = least(floor((col("value") - vmin) * 256.0 / vspan), lit(255L))
+      .cast("long")
+    ev.withColumn("z", zOrderKey(ub, vb))
+      .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("user_id").between(umin + uspan / 4, umin + uspan / 2) &&
+        col("value") >= H10MinValue)
+  }
+
+  val h10Sql: String = s"""
+    WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM events)
+    SELECT event_id, user_id, event_type, value FROM events, b
+    WHERE user_id BETWEEN b.umin + (b.umax - b.umin) // 4
+      AND b.umin + (b.umax - b.umin) // 2
+      AND value >= $H10MinValue"""
+
   val queries: Map[String, Q] = Map(
+    "h10_zorder_skip" -> h10,
     "h9_incremental_view" -> h9,
     "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
     "h3_orc_roundtrip" -> h3, "h4_partitioned_prune" -> h4,
@@ -400,6 +467,7 @@ object Roundtrip {
     "h7_compaction" -> h7, "h8_schema_evolution" -> h8)
 
   val oracles: Map[String, String] = Map(
+    "h10_zorder_skip" -> h10Sql,
     "h9_incremental_view" -> h9Sql,
     "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
     "h3_orc_roundtrip" -> h3Sql, "h4_partitioned_prune" -> h4Sql,

@@ -635,7 +635,48 @@ object StreamOps {
     */
   val g14Sql: String = graft.sources.Roundtrip.h9Sql
 
+  /** g15: STREAMING ANN QUERY SERVING — the online half of the s7
+    * pairing (index persists once; queries arrive forever): a stream of
+    * query-vector micro-batches served against the STATIC built PQ index
+    * (codebook + code table). Per batch: collect the batch's bounded
+    * query set (≤ [[graft.operators.Similarity.NumQueries]] — the s3
+    * codebook discipline), build its integer ADC lookup table, scan the
+    * code table once, exact-re-rank the shortlist — i.e. exactly the
+    * deployed per-query-batch cost, with zero index work per batch. The
+    * index is never touched by the stream, so at 100 TB this is
+    * (batch queries × code-table scan), the serving shape of an ANN
+    * endpoint. Queries are independent, so the batched union must equal
+    * the one-shot s6 run — the oracle IS s6's.
+    */
+  def g15(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val (e, codes, cents) = Similarity.pqIndex(s, dir)
+    val qs = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id"), col("emb"))
+    val out = StreamRunner.stagingRoot(s, "g15_")
+    val resDir = s"$out/results"
+    StreamRunner.runForeachFiles(s,
+        Seq(qs.filter(col("vec_id") % 2 === 0),
+          qs.filter(col("vec_id") % 2 === 1))) { (batch, _) =>
+      val queries = batch.collect() // bounded: <= NumQueries rows
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      if (queries.nonEmpty)
+        Similarity.s6QueryFor(s, e, codes, cents, queries)
+          .write.mode("append").parquet(resDir)
+    }
+    val res = s.read.parquet(resDir).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(out))
+    res
+  }
+
+  val g15Sql: String = graft.operators.Similarity.oracles("s6_pq_ann")
+
   val queries: Map[String, Q] = Map(
+    "g15_stream_ann_serve" -> g15,
     "g14_stream_view_refresh" -> g14,
     "g13_stream_compaction" -> g13,
     "g9_stream_topk" -> g9, "g10_stream_ingest_dedup" -> g10,
@@ -646,6 +687,7 @@ object StreamOps {
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
+    "g15_stream_ann_serve" -> g15Sql,
     "g14_stream_view_refresh" -> g14Sql,
     "g13_stream_compaction" -> g13Sql,
     "g9_stream_topk" -> g9Sql, "g10_stream_ingest_dedup" -> g10Sql,

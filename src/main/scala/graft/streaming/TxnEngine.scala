@@ -363,15 +363,20 @@ object TxnEngine {
     val cap = spark.conf
       .get("spark.graft.txn.foldComponentCap", FoldComponentCap.toString)
       .toLong
-    // conflict components over (txn, key) metadata: chain edges connect
-    // consecutive txns per key (enough for connectivity), labels by
-    // pointer-doubled propagation. Isolated txns (no conflict) label
-    // themselves.
+    // conflict components over (txn, key) metadata: STAR edges connect
+    // every txn on a key to the FIRST txn on that key — identical
+    // connectivity to per-key chains (each key's txn set stays one
+    // blob), but the conflict-graph diameter collapses from the longest
+    // per-key run (thousands at 10M events — measured: the pointer-
+    // doubled propagation paid ~log2(run) shuffle rounds and dominated
+    // the sf10 a8 bench) to ~2 per key + the cross-key path length, so
+    // the distributed labeling converges in a handful of rounds. Labels
+    // by pointer-doubled propagation; isolated txns label themselves.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("txn_id"))
+      .partitionBy(col("key"))
     val chainEdges = keyed
-      .withColumn("src", lag(col("txn_id"), 1).over(w))
-      .filter(col("src").isNotNull)
+      .withColumn("src", min(col("txn_id")).over(w))
+      .filter(col("src") =!= col("txn_id"))
       .select(col("src").as("a_id"), col("txn_id").as("b_id"))
       .distinct()
     val comp = keyed.select(col("txn_id")).distinct()

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import graft.sources.{Roundtrip, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 additions: q47 (Q18 shape), h10 (z-order layout + 2-D
+  * skipping), g15 (streaming ANN serving).
+  */
+class Round10Spec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("q47 aggregates lineitem ONCE (aggregate-then-join, no IN re-agg)") {
+    val p = Relational.q47(s, d).queryExecution.executedPlan.toString
+    // one partial+final pair on l_orderkey; a second aggregation over
+    // lineitem would show four HashAggregate nodes with sum(l_quantity)
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs == 2, s"expected 2 HashAggregate nodes (partial+final), got $aggs")
+  }
+
+  test("q47 matches an independent driver-side computation") {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => BigDecimal(r.getDouble(1))).sum).toMap
+      .filter(_._2 > Relational.Q47MinQty)
+    val got = Relational.q47(s, d).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(2)).toSet.subsetOf(li.keySet))
+    // descending totalprice with orderkey tiebreak
+    val keys = got.map(r => (-r.getDouble(4), r.getLong(2))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("zOrderKey interleaves bits (u even lanes, v odd lanes)") {
+    import s.implicits._
+    val rows = Seq((0L, 0L), (255L, 0L), (0L, 255L), (5L, 3L), (170L, 85L))
+      .toDF("u", "v")
+      .select(Roundtrip.zOrderKey(col("u"), col("v")).as("z"))
+      .collect().map(_.getLong(0))
+    def interleave(u: Long, v: Long): Long =
+      (0 until 8).map(i => (((u >> i) & 1L) << (2 * i)) |
+        (((v >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val exp = Seq((0L, 0L), (255L, 0L), (0L, 255L), (5L, 3L), (170L, 85L))
+      .map((interleave _).tupled)
+    assert(rows.toSeq == exp)
+    // u occupies even bit lanes only: z(255,0) = 0x5555
+    assert(interleave(255L, 0L) == 0x5555L && interleave(0L, 255L) == 0xaaaaL)
+  }
+
+  test("h10 equals the direct box filter, and z-files carry tight boxes") {
+    import s.implicits._
+    val got = Roundtrip.h10(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.events(s, d)
+    val r = ev.agg(min("user_id"), max("user_id")).head()
+    val (umin, umax) = (r.getLong(0), r.getLong(1))
+    val span = math.max(umax - umin, 1L)
+    val exp = ev.filter($"user_id".between(umin + span / 4, umin + span / 2)
+        && $"value" >= Roundtrip.H10MinValue)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .collect().map(_.toSeq).toSet
+    assert(got == exp && got.nonEmpty)
+
+    // layout evidence: replicate h10's write, then per-file user_id spans
+    // must be fractions of the domain (each z-range file covers a small
+    // 2-D box, which is what parquet min/max stats prune on)
+    val out = java.nio.file.Files.createTempDirectory("graft_zspec_").toString
+    val vr = ev.agg(min("value"), max("value")).head()
+    val (vmin, vmax) = (vr.getDouble(0), vr.getDouble(1))
+    val ub = least(floor(($"user_id" - umin) * 256 / (span + 1)), lit(255L))
+    val vb = least(floor(($"value" - vmin) * 256.0 /
+      math.max(vmax - vmin, 1e-9)), lit(255L)).cast("long")
+    ev.select($"event_id", $"user_id", $"value")
+      .withColumn("z", Roundtrip.zOrderKey(ub, vb))
+      .repartitionByRange(8, $"z").sortWithinPartitions($"z").drop("z")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val spans = files.map { f =>
+      val m = s.read.parquet(f.getAbsolutePath)
+        .agg(min("user_id"), max("user_id")).head()
+      (m.getLong(1) - m.getLong(0)).toDouble / span
+    }
+    assert(files.length >= 4, s"expected >=4 z-range files, got ${files.length}")
+    assert(spans.count(_ <= 0.55) >= files.length / 2,
+      s"z-order should box user_id; spans: ${spans.map(x => f"$x%.2f").mkString(",")}")
+    files.foreach(_ => ())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(out))
+  }
+
+  test("g15 streamed ANN serving equals the one-shot s6 run") {
+    val got = streaming.StreamOps.g15(s, d)
+      .collect().map(_.toSeq).toSet
+    val exp = Similarity.s6(s, d)
+      .collect().map(_.toSeq).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+}
