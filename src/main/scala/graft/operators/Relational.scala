@@ -1180,8 +1180,84 @@ object Relational {
     JOIN customer ON o_custkey = c_custkey
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
 
+  /** q48: TPC-H Q10 shape — top returned-item customers: revenue lost to
+    * returns per customer over a quarter. The R-filtered lineitem joins
+    * orders on the shuffled fact key; customer is a size-guarded
+    * broadcast and nation a fixed broadcast; deterministic top-20.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+    Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Hints.maybeBroadcast(Tables.customer(s, dir)),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q48Sql: String = s"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** q49: TPC-H Q7 shape — shipping volume between two nations by year:
+    * supplier-nation → customer-nation flows in both directions. One
+    * fact-fact shuffle (lineitem ⋈ orders); supplier/customer
+    * size-guarded broadcasts; the two-nation predicate keeps both
+    * directions via the OR of the (supp, cust) nation pairs.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val sn = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+      .filter($"supp_nation".isin(na, nb))
+    val cn = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+      .filter($"cust_nation".isin(na, nb))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Hints.maybeBroadcast(sn), $"l_suppkey" === $"s_suppkey")
+      .join(Hints.maybeBroadcast(cn), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === na && $"cust_nation" === nb) ||
+        ($"supp_nation" === nb && $"cust_nation" === na))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  val q49Sql: String = s"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3"""
+
   val queries: Map[String, Q] = Map(
-    "q47_big_orders" -> q47,
+    "q47_big_orders" -> q47, "q48_returned_items" -> q48,
+    "q49_nation_volume" -> q49,
     "q43_market_share" -> q43, "q44_cust_distribution" -> q44,
     "q45_lateral_topn" -> q45, "q46_sole_supplier" -> q46,
     "q37_stratified_sample" -> q37, "q38_funnel" -> q38,
@@ -1207,7 +1283,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q43_market_share" -> q43Sql, "q44_cust_distribution" -> q44Sql,
     "q45_lateral_topn" -> q45Sql, "q46_sole_supplier" -> q46Sql,
-    "q47_big_orders" -> q47Sql,
+    "q47_big_orders" -> q47Sql, "q48_returned_items" -> q48Sql,
+    "q49_nation_volume" -> q49Sql,
     "q36_kmv_distinct" -> q36Sql,
     "q37_stratified_sample" -> q37Sql, "q38_funnel" -> q38Sql,
     "q39_sliding_window" -> q39Sql, "q40_skew_join" -> q40Sql,
