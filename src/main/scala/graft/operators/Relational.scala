@@ -1255,7 +1255,166 @@ object Relational {
        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
     GROUP BY 1, 2, 3"""
 
+  /** q50: TPC-H Q4 shape — order-priority checking: orders in a quarter
+    * with at least one LATE lineitem (shipped >60 days after the order
+    * date), counted per priority. The correlated EXISTS decorrelates to a
+    * left-semi join on orderkey carrying the non-equi lateness predicate;
+    * both facts shuffle once on the join key, the count aggregates a
+    * 5-row domain.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-10-01").cast("timestamp"))
+    ord.join(Tables.lineitem(s, dir),
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(dcount(lit(1)).as("order_count"))
+  }
+
+  val q50Sql: String = s"""
+    SELECT o_orderpriority, ${dcountSql("1")} AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority"""
+
+  /** q51: TPC-H Q12 shape — shipping-status priority mix: for lineitems
+    * shipped LATE (>30 days after order date) in one year, per
+    * l_linestatus, how many came from high- vs low-priority orders. One
+    * fact-fact equi join on orderkey (the lateness predicate rides along
+    * as a post-join filter Catalyst pushes into the join), CASE-counts
+    * over a 2-row group domain.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAY"))
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+          .cast("long").as("high_line_count"),
+        sum(when($"o_orderpriority".isin(hi: _*), 0L).otherwise(1L))
+          .cast("long").as("low_line_count"))
+  }
+
+  val q51Sql: String = """
+    SELECT l_linestatus,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus"""
+
+  /** q52: TPC-H Q14 shape — promo revenue share over one ship month:
+    * 100 · promo revenue / total revenue. Part is a size-guarded
+    * broadcast onto the month-filtered fact scan; both sums run in exact
+    * decimal and the share is the rounded double quotient (the
+    * [[graft.Portable.davg]] division discipline), so the single output
+    * row hash-matches bit-for-bit.
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .join(Hints.maybeBroadcast(
+        Tables.part(s, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .withColumn("rev", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .agg(
+        dsum(when($"p_type" === "PROMO", $"rev").otherwise(0.0))
+          .as("promo_revenue"),
+        dsum($"rev").as("total_revenue"))
+      .withColumn("promo_share",
+        round(lit(100.0) * $"promo_revenue" / $"total_revenue", 4))
+  }
+
+  val q52Sql: String = s"""
+    WITH sums AS (
+      SELECT
+        ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01')
+    SELECT promo_revenue, total_revenue,
+      round(100.0 * promo_revenue / total_revenue, 4) AS promo_share
+    FROM sums"""
+
+  /** q53: TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    * revenue "view" (one supplier-keyed aggregate) feeds both the global
+    * max (a 1-row broadcast) and the equality filter — the aggregate is
+    * computed once and reused, never re-derived per row. Revenue is the
+    * rounded exact-decimal sum, so the max-equality is stable.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val revenue = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("total_revenue"))
+    val top = revenue.agg(max($"total_revenue").as("max_revenue"))
+    revenue.join(broadcast(top), $"total_revenue" === $"max_revenue")
+      .join(Hints.maybeBroadcast(
+        Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+  }
+
+  val q53Sql: String = s"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"""
+
+  /** q54: TPC-H Q6 shape — the forecasting-revenue-change scan: one
+    * filtered pass over lineitem, a single global exact-decimal sum, no
+    * join and no shuffle beyond the one-row final aggregate. All three
+    * predicates push to the parquet scan.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"))
+  }
+
+  val q54Sql: String = s"""
+    SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
   val queries: Map[String, Q] = Map(
+    "q50_late_orders" -> q50, "q51_late_priority_mix" -> q51,
+    "q52_promo_share" -> q52, "q53_top_supplier" -> q53,
+    "q54_revenue_scan" -> q54,
     "q47_big_orders" -> q47, "q48_returned_items" -> q48,
     "q49_nation_volume" -> q49,
     "q43_market_share" -> q43, "q44_cust_distribution" -> q44,
@@ -1281,6 +1440,9 @@ object Relational {
     "q36_kmv_distinct" -> q36)
 
   val oracles: Map[String, String] = Map(
+    "q50_late_orders" -> q50Sql, "q51_late_priority_mix" -> q51Sql,
+    "q52_promo_share" -> q52Sql, "q53_top_supplier" -> q53Sql,
+    "q54_revenue_scan" -> q54Sql,
     "q43_market_share" -> q43Sql, "q44_cust_distribution" -> q44Sql,
     "q45_lateral_topn" -> q45Sql, "q46_sole_supplier" -> q46Sql,
     "q47_big_orders" -> q47Sql, "q48_returned_items" -> q48Sql,
