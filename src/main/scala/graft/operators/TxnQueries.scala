@@ -506,7 +506,55 @@ object TxnQueries {
         ORDER BY ts DESC, event_id DESC) AS rn FROM log) z
     WHERE rn = 1"""
 
+  /** a14: SNAPSHOT READS over the changelog (the `AS OF` companion to
+    * a13's compaction — together they are the two derived views a
+    * log-structured store serves): the blind changelog reconstructed at
+    * three historical txn-id boundaries (¼, ½, ¾ of the id range), each
+    * snapshot the last-writer-wins state among txns ≤ its boundary,
+    * tombstones retained (a1's discipline). One broadcast of the 3-row
+    * boundary table fans each log row to the snapshots it is visible in,
+    * then ONE exchange on the high-cardinality (snap, key) pair — the
+    * multi-snapshot reconstruction never replays the log per snapshot.
+    */
+  def a14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.events(s, dir)
+      .select($"event_id".as("txn_id"),
+        concat(lit("k"), ($"user_id" % Buckets).cast("string")).as("key"),
+        floor($"value" * 100).cast("long").as("v"))
+      .withColumn("value",
+        when($"v" % 5 === 0, lit(null).cast("string"))
+          .otherwise($"v".cast("string")))
+    val r = log.agg(min($"txn_id"), max($"txn_id")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val snaps = Seq(1L, 2L, 3L).map(i => (i, lo + (hi - lo) * i / 4))
+      .toDF("snap_id", "boundary")
+    log.join(broadcast(snaps), $"txn_id" <= $"boundary")
+      .groupBy($"snap_id", $"key")
+      .agg(max(struct($"txn_id", $"value")).as("last"))
+      .select($"snap_id", $"key", $"last.value".as("value"),
+        $"last.txn_id".as("last_txn_id"))
+  }
+
+  val a14Sql: String = s"""
+    WITH $workloadSql,
+    bounds AS (SELECT min(txn_id) AS lo, max(txn_id) AS hi FROM w0),
+    snaps AS (
+      SELECT CAST(1 AS BIGINT) AS snap_id, lo + (hi - lo) * 1 // 4 AS boundary FROM bounds
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), lo + (hi - lo) * 2 // 4 FROM bounds
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), lo + (hi - lo) * 3 // 4 FROM bounds),
+    vis AS (
+      SELECT s.snap_id, w.key, w.new_val, w.txn_id,
+        row_number() OVER (PARTITION BY s.snap_id, w.key
+          ORDER BY w.txn_id DESC) AS rd
+      FROM w0 w JOIN snaps s ON w.txn_id <= s.boundary)
+    SELECT snap_id, key, new_val AS value, txn_id AS last_txn_id
+    FROM vis WHERE rd = 1"""
+
   val queries: Map[String, Q] = Map(
+    "a14_snapshot_read" -> a14,
     "a13_log_compaction" -> a13,
     "a12_stream_file_multikey" -> a12,
     "a11_heartbeat_agg" -> a11,
@@ -523,5 +571,5 @@ object TxnQueries {
     "a7_stream_watermark_agg" -> a7Sql, "a8_txn_multikey" -> a8Sql,
     "a9_stream_txn_multikey" -> a8Sql, "a10_stream_file_txn" -> a1Sql,
     "a11_heartbeat_agg" -> a7Sql, "a12_stream_file_multikey" -> a12Sql,
-    "a13_log_compaction" -> a13Sql)
+    "a13_log_compaction" -> a13Sql, "a14_snapshot_read" -> a14Sql)
 }

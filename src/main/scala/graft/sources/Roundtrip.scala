@@ -458,7 +458,132 @@ object Roundtrip {
       AND b.umin + (b.umax - b.umin) // 2
       AND value >= $H10MinValue"""
 
+  /** The h11 stats columns (numeric only: doubles round-trip bit-exactly
+    * between engines, while float→string formatting does not).
+    */
+  private val H11Cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_suppkey")
+
+  /** h11: TABLE STATISTICS COLLECTION (the ANALYZE pass a warehouse runs
+    * so its optimizer has row counts / NDVs / min-max bounds — the numbers
+    * behind every join-reorder and broadcast decision): one scan over
+    * lineitem computes per-column row count, null count, exact distinct
+    * count and min/max, emitted as one row per column. The multi-column
+    * exact NDVs plan as ONE aggregate over an Expand (×4, Spark's standard
+    * multi-count-distinct shape) — no per-column rescans. At 100 TB the
+    * exact NDV swaps for the HLL sketch (q23's companion); the plumbing —
+    * one pass, stats as rows — is identical.
+    */
+  def h11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(s, dir)
+    val agg = li.agg(count(lit(1)).as("n_rows"),
+      H11Cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          count_distinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"))
+      }: _*)
+    val statRows = array(H11Cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).cast("long").as("n_nulls"),
+        col(s"ndv_$c").cast("long").as("n_distinct"),
+        col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"))
+    }: _*)
+    agg.select(inline(statRows))
+  }
+
+  val h11Sql: String = H11Cols.map { c =>
+    s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+      CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+      CAST(min($c) AS DOUBLE) AS min_value,
+      CAST(max($c) AS DOUBLE) AS max_value FROM lineitem"""
+  }.mkString("\n    UNION ALL\n    ")
+
+  /** One commit of a manifest-versioned table: write `df` as new data
+    * files under `table/data/c<version>_*`, then write manifest v<version>
+    * = `carried` (paths kept from prior versions) + the new files. The
+    * manifest is the snapshot: a text file listing exactly the data files
+    * visible at that version (the Iceberg/Delta mechanism at its core).
+    * Returns the new files' paths.
+    */
+  private[graft] def commitVersion(s: SparkSession, table: String,
+      version: Int, df: DataFrame, carried: Seq[String]): Seq[String] = {
+    val stage = s"$table/stage_v$version"
+    df.write.mode("overwrite").parquet(stage)
+    val dataDir = new java.io.File(s"$table/data")
+    dataDir.mkdirs()
+    val moved = parquetFiles(stage).zipWithIndex.map { case (f, i) =>
+      val dst = new java.io.File(dataDir, s"c${version}_$i.parquet")
+      Files.move(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }.toSeq
+    rmTree(stage)
+    val mdir = new java.io.File(s"$table/_manifests")
+    mdir.mkdirs()
+    Files.write(new java.io.File(mdir, s"v$version.txt").toPath,
+      (carried ++ moved).sorted.mkString("\n").getBytes("UTF-8"))
+    moved
+  }
+
+  /** The data files visible at a table version, per its manifest. */
+  private[graft] def manifestFiles(table: String, version: Int): Seq[String] =
+    new String(Files.readAllBytes(
+      new java.io.File(s"$table/_manifests/v$version.txt").toPath), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Read a manifest-versioned table AS OF a version: exactly the files
+    * that version's manifest lists, regardless of anything committed
+    * later. This is time travel: the scan is planned over a bounded,
+    * explicit file list (no directory listing), which is also why the
+    * mechanism scales — a 100 TB table's snapshot read opens one manifest,
+    * not an object-store listing.
+    */
+  private[graft] def readVersion(s: SparkSession, table: String,
+      version: Int): DataFrame =
+    s.read.parquet(manifestFiles(table, version): _*)
+
+  /** Build the 3-version h12 table: v1 = orders keys ≡0 (mod 3); v2
+    * appends keys ≡1 (mod 3) (v1's files carried, not rewritten); v3 is a
+    * copy-on-write DELETE of keys ≡0 (mod 9) — the rows survive v2's
+    * files untouched on disk, v3's manifest just points at the rewritten
+    * set. Returns the table path (caller cleans up).
+    */
+  private[graft] def h12Build(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val table = tmp("graft_h12_")
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val v1 = commitVersion(s, table, 1,
+      o.filter(col("o_orderkey") % 3 === 0), Nil)
+    commitVersion(s, table, 2, o.filter(col("o_orderkey") % 3 === 1), v1)
+    val kept = readVersion(s, table, 2)
+      .filter(col("o_orderkey") % 9 =!= 0)
+    commitVersion(s, table, 3, kept, Nil)
+    table
+  }
+
+  /** h12: SNAPSHOT / TIME-TRAVEL READ over a manifest-versioned table —
+    * the lake mechanism behind `VERSION AS OF`: three commits (append,
+    * then copy-on-write delete), and the gate reads v2 AFTER v3 exists —
+    * proving a historical snapshot is reconstructed exactly even though
+    * the latest version dropped rows. The oracle replays v2's logical
+    * content from the source table.
+    */
+  def h12(s: SparkSession, dir: String): DataFrame = {
+    val table = h12Build(s, dir)
+    try readVersion(s, table, 2).localCheckpoint(true)
+    finally rmTree(table)
+  }
+
+  val h12Sql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)"""
+
   val queries: Map[String, Q] = Map(
+    "h11_column_stats" -> h11, "h12_time_travel" -> h12,
     "h10_zorder_skip" -> h10,
     "h9_incremental_view" -> h9,
     "h1_csv_roundtrip" -> h1, "h2_json_roundtrip" -> h2,
@@ -467,6 +592,7 @@ object Roundtrip {
     "h7_compaction" -> h7, "h8_schema_evolution" -> h8)
 
   val oracles: Map[String, String] = Map(
+    "h11_column_stats" -> h11Sql, "h12_time_travel" -> h12Sql,
     "h10_zorder_skip" -> h10Sql,
     "h9_incremental_view" -> h9Sql,
     "h1_csv_roundtrip" -> h1Sql, "h2_json_roundtrip" -> h2Sql,
