@@ -921,7 +921,98 @@ object Dedup {
         ELSE 0.0 END AS dup_frac
     FROM base b LEFT JOIN pd USING (doc_id)"""
 
+  /** d14 Bloom geometry: m = 2^20 bit positions, k = 3 probes — the three
+    * leading 32-bit words of ONE md5 per shingle (no per-probe rehash).
+    */
+  val BloomBits = 1L << 20
+  val BloomK = 3
+
+  /** d14: BLOOM-FILTER MEMBERSHIP PRE-FILTER — the constant-space gate in
+    * front of exact containment (t21's shape): the train split's word
+    * 5-grams populate a 2^20-bit Bloom filter (k=3 positions per gram,
+    * the three leading 32-bit words of its single md5), and each test
+    * doc's grams probe it. A gram "maybe-hits" iff all 3 positions are
+    * set; the exact join then reports true hits, so the output exposes
+    * the false-positive count directly (bloom_hits ≥ exact_hits always —
+    * Bloom filters have NO false negatives, the spec invariant). Scale
+    * shape: the filter is represented as its set-position table (≤2^20
+    * rows regardless of corpus size — at 100 TB the filter is still
+    * 128 KiB as a bitmap, which is the point: the pre-filter is
+    * memory-resident everywhere while the exact gram set is not); probes
+    * join on the position key, everything else per-row. Full hash gate
+    * (both engines replay the identical md5-word arithmetic).
+    */
+  def d14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", explode(Text.shingles($"toks", 5)).as("sh"))
+      .select($"doc_id", md5($"sh").as("mh"))
+    // one row per distinct gram per doc side, occurrence count carried
+    val grams = sh.groupBy($"doc_id", $"mh")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    def posCols(mh: Column): Seq[Column] = (0 until BloomK).map(j =>
+      conv(substring(mh, 8 * j + 1, 8), 16, 10).cast("long") % BloomBits)
+    // the filter: distinct set positions over the train split's grams
+    val bloom = grams.filter($"doc_id" % 10 =!= 0)
+      .select(explode(array(posCols($"mh"): _*)).as("pos")).distinct()
+      .withColumn("set", lit(1))
+    val trainSet = grams.filter($"doc_id" % 10 =!= 0)
+      .select($"mh").distinct().withColumn("intrain", lit(1))
+    val test = grams.filter($"doc_id" % 10 === 0)
+    val probed = test
+      .select($"doc_id", $"mh", $"c",
+        explode(array(posCols($"mh"): _*)).as("pos"))
+      .join(bloom, Seq("pos"), "left_outer")
+      .groupBy($"doc_id", $"mh", $"c")
+      .agg((count($"set") === BloomK).as("maybe"))
+      .join(trainSet, Seq("mh"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"),
+        sum(when($"maybe", $"c").otherwise(0L)).as("bloom_hits"),
+        sum(when($"intrain".isNotNull, $"c").otherwise(0L)).as("exact_hits"))
+    Tables.documents(s, dir).filter($"doc_id" % 10 === 0).select($"doc_id")
+      .join(probed, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).cast("long").as("n_grams"),
+        coalesce($"bloom_hits", lit(0L)).cast("long").as("bloom_hits"),
+        coalesce($"exact_hits", lit(0L)).cast("long").as("exact_hits"))
+  }
+
+  val d14Sql: String = {
+    val pos = (0 until BloomK).map(j =>
+      s"CAST(('0x' || substring(mh, ${8 * j + 1}, 8))::UBIGINT AS BIGINT) % $BloomBits")
+    s"""
+    WITH tok AS (SELECT doc_id, ${TextSql.toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(${TextSql.shingles("toks", 5)}) AS sh
+           FROM tok),
+    grams AS (SELECT doc_id, md5(sh) AS mh, CAST(count(*) AS BIGINT) AS c
+      FROM sh GROUP BY doc_id, md5(sh)),
+    bloom AS (SELECT DISTINCT unnest([${pos.mkString(", ")}]) AS pos
+      FROM grams WHERE doc_id % 10 <> 0),
+    train AS (SELECT DISTINCT mh FROM grams WHERE doc_id % 10 <> 0),
+    probe AS (SELECT doc_id, mh, c, unnest([${pos.mkString(", ")}]) AS pos
+      FROM grams WHERE doc_id % 10 = 0),
+    maybe AS (SELECT p.doc_id, p.mh, p.c,
+        (count(b.pos) = $BloomK) AS maybe
+      FROM probe p LEFT JOIN bloom b ON p.pos = b.pos
+      GROUP BY p.doc_id, p.mh, p.c),
+    agg AS (SELECT m.doc_id, sum(m.c) AS n_grams,
+        sum(CASE WHEN m.maybe THEN m.c ELSE 0 END) AS bloom_hits,
+        sum(CASE WHEN tr.mh IS NOT NULL THEN m.c ELSE 0 END) AS exact_hits
+      FROM maybe m LEFT JOIN train tr ON m.mh = tr.mh
+      GROUP BY m.doc_id)
+    SELECT d.doc_id,
+      CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(coalesce(a.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+      CAST(coalesce(a.exact_hits, 0) AS BIGINT) AS exact_hits
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN agg a USING (doc_id)"""
+  }
+
   val queries: QM = Map(
+    "d14_bloom_prefilter" -> d14,
     "d8_decontamination" -> d8, "d9_incremental_dedup" -> d9,
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2, "d3_ngram_jaccard" -> d3,
     "d4_simhash" -> d4, "d5_embedding_neardup" -> d5, "d6_dedup_groups" -> d6,
@@ -930,6 +1021,7 @@ object Dedup {
     "d13_span_dedup" -> d13)
 
   val oracles: Map[String, String] = Map(
+    "d14_bloom_prefilter" -> d14Sql,
     "d8_decontamination" -> d8Sql, "d9_incremental_dedup" -> d9Sql,
     "d1_exact_dedup" -> d1Sql, "d2_minhash_lsh" -> d2Sql,
     "d3_ngram_jaccard" -> d3Sql, "d4_simhash" -> d4Sql,

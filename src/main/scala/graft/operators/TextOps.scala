@@ -40,8 +40,10 @@ object TextOps {
   def t2(s: SparkSession, dir: String): DataFrame =
     t2Of(withToks(Tables.documents(s, dir)))
 
-  /** [[t2]] over a pre-tokenized (doc_id, text, toks) base. */
-  private def t2Of(docs: DataFrame): DataFrame = {
+  /** [[t2]] over a pre-tokenized (doc_id, text, toks) base; `extra`
+    * columns (e.g. lang for [[t22]]) pass through both projections.
+    */
+  private def t2Of(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     val nTok = size($"toks")
     // native code-point class count — exactly the characters the oracle's
@@ -62,30 +64,41 @@ object TextOps {
     // BOUND raw-ratio attributes — inlined, the punct regex and the
     // interpreted stopword HOF each evaluated twice per row (once for
     // the emitted ratio, once inside quality)
-    docs.select($"doc_id", nTok.cast("long").as("n_tokens"),
-        punctRatio.as("praw"), stopRatio.as("sraw"))
-      .select($"doc_id", $"n_tokens",
+    val ex = extra.map(col)
+    docs.select(Seq($"doc_id", nTok.cast("long").as("n_tokens"),
+        punctRatio.as("praw"), stopRatio.as("sraw")) ++ ex: _*)
+      .select(Seq($"doc_id", $"n_tokens",
         trunc4($"praw").as("punct_ratio"),
         trunc4($"sraw").as("stop_ratio"),
         trunc4(least(lit(1.0), $"n_tokens" / lit(100.0)) * 0.3 +
-          $"sraw" * 0.4 + (lit(1.0) - $"praw") * 0.3).as("quality"))
+          $"sraw" * 0.4 + (lit(1.0) - $"praw") * 0.3).as("quality")) ++ ex: _*)
   }
 
-  val t2Sql: String = {
+  /** The t2 raw-signal CTE pair (tok + m), with optional passthrough
+    * columns (", lang") — shared by t2Sql and t22Sql so the quality
+    * kernel can never drift between them.
+    */
+  private def t2MSql(extra: String): String = {
     val stops = TextSql.stopwordHits("toks", Text.enStops)
-    s"""
-    WITH tok AS (SELECT doc_id, text, ${TextSql.toks} AS toks FROM documents),
-    m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    s"""tok AS (SELECT doc_id$extra, text, ${TextSql.toks} AS toks FROM documents),
+    m AS (SELECT doc_id$extra, CAST(len(toks) AS BIGINT) AS n_tokens,
       CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
       CASE WHEN len(toks) > 0 THEN $stops * 1.0 / len(toks) ELSE 0.0 END AS stop_ratio
-      FROM tok)
+      FROM tok)"""
+  }
+
+  /** The floor-truncated composite quality over m's raw columns. */
+  private val qualityExprSql: String =
+    """CAST(floor((least(1.0, n_tokens / 100.0) * 0.3 + stop_ratio * 0.4
+            + (1.0 - punct_ratio) * 0.3) * 10000) / 10000.0 AS DOUBLE)"""
+
+  val t2Sql: String = s"""
+    WITH ${t2MSql("")}
     SELECT doc_id, n_tokens,
       CAST(floor(punct_ratio * 10000) / 10000.0 AS DOUBLE) AS punct_ratio,
       CAST(floor(stop_ratio * 10000) / 10000.0 AS DOUBLE) AS stop_ratio,
-      CAST(floor((least(1.0, n_tokens / 100.0) * 0.3 + stop_ratio * 0.4
-            + (1.0 - punct_ratio) * 0.3) * 10000) / 10000.0 AS DOUBLE) AS quality
+      $qualityExprSql AS quality
     FROM m"""
-  }
 
   /** t3: stopword-hit heuristic language ID (fixed tie order). */
   def t3(s: SparkSession, dir: String): DataFrame = {
@@ -885,7 +898,56 @@ object TextOps {
     FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
     LEFT JOIN agg a USING (doc_id)"""
 
+  /** t22: CCNet-STYLE QUALITY BUCKETING — the head/middle/tail split a
+    * pretraining pipeline cuts each language's corpus into before
+    * mixture weighting (Wenzek et al. LREC'20 bucket by LM perplexity;
+    * here by the t2 composite, same mechanism): per language, docs with
+    * fewer than n/3 strictly-better peers are `head`, fewer than 2n/3
+    * `middle`, else `tail` — all ties share a bucket. Scale shape: NO
+    * per-language global sort (the q34/ntile formulation would total-sort
+    * each language at 100 TB) — quality is floor-truncated to 1e-4 so
+    * the distinct (lang, quality) domain is ≤10001 rows/language; one
+    * corpus aggregate builds it, a tiny window ranks it, and the labels
+    * broadcast-join back. Integer-exact thresholds, full hash gate.
+    */
+  def t22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = t2Of(withToks(Tables.documents(s, dir)), Seq("lang"))
+      .select($"doc_id", $"lang", $"quality")
+    val counts = q.groupBy($"lang", $"quality")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wcum = Window.partitionBy($"lang").orderBy($"quality".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lab = counts
+      .withColumn("n_better", coalesce(sum($"c").over(wcum), lit(0L)))
+      .withColumn("n_lang", sum($"c").over(Window.partitionBy($"lang")))
+      .select($"lang", $"quality",
+        when($"n_better" * 3 < $"n_lang", "head")
+          .when($"n_better" * 3 < $"n_lang" * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    q.join(Hints.maybeBroadcast(lab), Seq("lang", "quality"))
+      .select($"doc_id", $"lang", $"quality", $"bucket")
+  }
+
+  val t22Sql: String = s"""
+    WITH ${t2MSql(", lang")},
+    q AS (SELECT doc_id, lang, $qualityExprSql AS quality FROM m),
+    counts AS (SELECT lang, quality, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY lang, quality),
+    cum AS (SELECT lang, quality,
+      coalesce(sum(c) OVER (PARTITION BY lang ORDER BY quality DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_better,
+      sum(c) OVER (PARTITION BY lang) AS n_lang FROM counts),
+    lab AS (SELECT lang, quality,
+      CASE WHEN n_better * 3 < n_lang THEN 'head'
+           WHEN n_better * 3 < n_lang * 2 THEN 'middle'
+           ELSE 'tail' END AS bucket FROM cum)
+    SELECT q.doc_id, q.lang, q.quality, lab.bucket
+    FROM q JOIN lab USING (lang, quality)"""
+
   val queries: Map[String, Q] = Map(
+    "t22_quality_buckets" -> t22,
     "t21_contamination" -> t21,
     "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
     "t15_sequence_packing" -> t15, "t16_bpe_merges" -> t16,
@@ -897,6 +959,7 @@ object TextOps {
     "t10_repetition" -> t10, "t11_pii_scrub" -> t11, "t12_rare_words" -> t12)
 
   val oracles: Map[String, String] = Map(
+    "t22_quality_buckets" -> t22Sql,
     "t21_contamination" -> t21Sql,
     "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
     "t15_sequence_packing" -> t15Sql, "t16_bpe_merges" -> t16Sql,
