@@ -460,6 +460,68 @@ object TextOps {
     * doc_id (co-partitioned after the first shuffle) emitting the
     * signals + per-rule flags + the final keep.
     */
+  /** The corpus-level frequency tables t12/t13 score against — learned
+    * ONCE on the static corpus for the streaming gate (`StreamOps.g16`),
+    * the g11-codebook pattern: (token-hash freq, bigram-hash freq), both
+    * checkpointed.
+    */
+  private[graft] def gateStats(docs: DataFrame): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    val base = withToks(docs).select($"doc_id", $"toks")
+    val tokFreq = base
+      .select(explode(graft.functions.WindowPolyHash($"toks", 1)).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val bgFreq = base
+      .select(explode(graft.functions.WindowPolyHash($"toks", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    (tokFreq, bgFreq)
+  }
+
+  /** Score a batch of docs against corpus-level frequency tables —
+    * [[t14]]'s four signals and verdict, with the corpus statistics
+    * EXTERNAL (so a streaming micro-batch scores statelessly against the
+    * learned tables; when the batch union replays the corpus the result
+    * is bitwise t14's).
+    */
+  private[graft] def gateScore(batch: DataFrame, tokFreq: DataFrame,
+      bgFreq: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    val b = withToks(batch).select($"doc_id", $"text", $"toks")
+      .localCheckpoint(false)
+    val q12 = b
+      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 1)).as("w"))
+      .join(tokFreq, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when($"cnt" <= RareMax, 1L).otherwise(0L)).cast("long").as("n_rare"))
+      .select($"doc_id",
+        round($"n_rare" * lit(1.0) / $"n_tokens", 6).as("rare_frac"))
+    val perDoc = b
+      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 2)).as("bg"))
+      .join(bgFreq, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum($"cnt").cast("long").as("freq_sum"))
+    val q13 = b.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        round(coalesce($"freq_sum" * lit(1.0) / $"n_bigrams", lit(0.0)), 6)
+          .as("fluency"))
+    t2Of(b).select($"doc_id", $"quality")
+      .join(t10Of(b).select($"doc_id", $"rep_ratio"), "doc_id")
+      .join(q12, "doc_id")
+      .join(q13, "doc_id")
+      .select($"doc_id", $"quality", $"rep_ratio", $"rare_frac", $"fluency",
+        ($"quality" >= GateMinQuality).as("ok_quality"),
+        ($"rep_ratio" <= GateMaxRep).as("ok_rep"),
+        ($"rare_frac" <= GateMaxRareFrac).as("ok_rare"),
+        ($"fluency" >= GateMinFluency).as("ok_fluency"))
+      .withColumn("keep",
+        $"ok_quality" && $"ok_rep" && $"ok_rare" && $"ok_fluency")
+  }
+
   def t14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ONE tokenize scan feeds all four signals (lazy checkpoint — the

@@ -675,7 +675,43 @@ object StreamOps {
 
   val g15Sql: String = graft.operators.Similarity.oracles("s6_pq_ann")
 
+  /** g16: STREAMING QUALITY GATE — the continuous form of t14's composite
+    * KEEP/DROP filter (the t14↔g16 pairing joins d9↔g10, s6↔g11, h6↔g12,
+    * h7↔g13, h9↔g14, s7↔g15): the corpus-statistical signal tables (token
+    * and bigram frequencies, `TextOps.gateStats`) are learned ONCE on the
+    * static corpus — the g11-codebook discipline — then each arriving doc
+    * micro-batch scores STATELESSLY against them (`TextOps.gateScore`:
+    * two broadcast-joinable frequency lookups + per-row kernels, no
+    * streaming state). That is the 100 TB ingest-filter shape: per-batch
+    * cost = batch × (lookup joins), the corpus never rescanned. The
+    * batched union replays the corpus, so the result is bitwise t14's —
+    * the oracle IS t14's.
+    */
+  def g16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextOps
+    val docs = Tables.documents(s, dir)
+    val (tokFreq, bgFreq) = TextOps.gateStats(docs)
+    val out = StreamRunner.stagingRoot(s, "g16_")
+    StreamRunner.runForeachFiles(s,
+        Seq(docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 === 1))) { (batch, _) =>
+      TextOps.gateScore(batch, tokFreq, bgFreq)
+        .write.mode("append").parquet(out)
+    }
+    val res = s.read.parquet(out).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(out))
+    res
+  }
+
+  val g16Sql: String = graft.operators.TextOps.oracles("t14_quality_gate")
+
   val queries: Map[String, Q] = Map(
+    "g16_stream_quality_gate" -> g16,
     "g15_stream_ann_serve" -> g15,
     "g14_stream_view_refresh" -> g14,
     "g13_stream_compaction" -> g13,
@@ -687,6 +723,7 @@ object StreamOps {
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
+    "g16_stream_quality_gate" -> g16Sql,
     "g15_stream_ann_serve" -> g15Sql,
     "g14_stream_view_refresh" -> g14Sql,
     "g13_stream_compaction" -> g13Sql,

@@ -96,6 +96,12 @@ class Round10Spec extends AnyFunSuite {
     rm(new java.io.File(out))
   }
 
+  test("g16 streamed quality gate equals the batch t14 verdicts") {
+    val got = streaming.StreamOps.g16(s, d).collect().map(_.toSeq).toSet
+    val exp = operators.TextOps.t14(s, d).collect().map(_.toSeq).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("g15 streamed ANN serving equals the one-shot s6 run") {
     val got = streaming.StreamOps.g15(s, d)
       .collect().map(_.toSeq).toSet
