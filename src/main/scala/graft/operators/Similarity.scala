@@ -232,10 +232,14 @@ object Similarity {
   def s3(s: SparkSession, dir: String): DataFrame =
     topkPerQuery(s3Scored(s, dir))
 
-  /** The exact-scored candidate set behind [[s3]] (pre-top-k) — exposed
-    * so the bench can report candidates/query next to recall.
+  /** The IVF build behind [[s3]] and [[s8]]: checkpointed double-cast
+    * corpus, the Lloyd-refined coarse codebook, and the final cell
+    * assignment (vec_id, cid, emb), checkpointed. Deterministic end to
+    * end ([[s3Scored]]'s scaladoc), so both consumers share one DuckDB
+    * replay ([[ivfSqlPrefix]]).
     */
-  def s3Scored(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfTrain(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Double]], DataFrame) = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
@@ -279,7 +283,16 @@ object Similarity {
       centroids = next
     }
 
-    val assigned = assign(centroids).localCheckpoint(true)
+    (e, centroids, assign(centroids).localCheckpoint(true))
+  }
+
+  /** The exact-scored candidate set behind [[s3]] (pre-top-k) — exposed
+    * so the bench can report candidates/query next to recall.
+    */
+  def s3Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, centroids, assigned) = ivfTrain(s, dir)
+    val k = centroids.length
     // nprobe cells per query, computed on the driver over the tiny codebook
     val queries = assigned.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"emb".as("q_emb")).collect()
@@ -425,15 +438,21 @@ object Similarity {
     * unrolled as CTE triples (assign -> fixed-point mean -> next codebook,
     * empty cells keeping their previous coordinates via the left join).
     */
-  val s3Sql: String = {
-    def d2(a: String, b: String) =
-      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  private def ivfD2Sql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The IVF build as a WITH-prefix shared by [[s3Sql]] and [[s8Sql]]:
+    * kk/np (N-adaptive k and nprobe), double-cast `emb`, seed codebook
+    * `c0`, the [[LloydIters]] unrolled refinement triples, ending at the
+    * final assignment `a{LloydIters}` over codebook `c{LloydIters}`.
+    */
+  private[operators] val ivfSqlPrefix: String = {
     def assignCte(name: String, cents: String) = s"""
     $name AS (
       SELECT vec_id, emb, cid FROM (
         SELECT e.vec_id, e.emb, s.cid,
           row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY ${d2("e.emb", "s.c")}, s.cid) AS rn
+            ORDER BY ${ivfD2Sql("e.emb", "s.c")}, s.cid) AS rn
         FROM emb e CROSS JOIN $cents s) z
       WHERE rn = 1)"""
     def meanCte(name: String, assigned: String) = s"""
@@ -472,15 +491,29 @@ object Similarity {
             FROM emb) seeds, kk
       WHERE seeds.rn <= kk.k),
     $iters,
-    ${assignCte(s"a$f", s"c$f").trim},
-    pr AS (
+    ${assignCte(s"a$f", s"c$f").trim}"""
+  }
+
+  /** The nprobe-cells-per-query CTE over the shared prefix (s3 and s8
+    * probe the SAME cells — s8's residual codes only change what gets
+    * scanned inside them).
+    */
+  private val ivfProbeSql: String = {
+    val f = LloydIters
+    s"""pr AS (
       SELECT query_id, cid, q_emb FROM (
         SELECT q.vec_id AS query_id, c.cid, q.emb AS q_emb,
           row_number() OVER (PARTITION BY q.vec_id
-            ORDER BY ${d2("q.emb", "c.c")}, c.cid) AS rn
+            ORDER BY ${ivfD2Sql("q.emb", "c.c")}, c.cid) AS rn
         FROM a$f q CROSS JOIN c$f c
         WHERE q.vec_id < $NumQueries) z, np
-      WHERE rn <= np.np),
+      WHERE rn <= np.np)"""
+  }
+
+  val s3Sql: String = {
+    val f = LloydIters
+    s"""$ivfSqlPrefix,
+    $ivfProbeSql,
     scored AS (
       SELECT pr.query_id, a.vec_id AS neighbor_id,
         round(${VecSql.cosine("pr.q_emb", "a.emb", Dim)}, 6) AS cos
@@ -637,6 +670,15 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .localCheckpoint(true)
+    (e, pqTrainOf(e))
+  }
+
+  /** [[pqTrain]]'s joint Lloyd over an arbitrary checkpointed
+    * (vec_id, emb) frame — [[s8]] trains on RESIDUALS through this.
+    */
+  private[graft] def pqTrainOf(e: DataFrame)
+      : Array[Array[Array[Double]]] = {
+    import e.sparkSession.implicits._
     // seeds: subvectors of the SubK lowest vec_ids (rank, not vec_id<k —
     // exact count even with sparse ids), per subspace
     var cents: Array[Array[Array[Double]]] = {
@@ -663,7 +705,7 @@ object Similarity {
       }
       cents = next
     }
-    (e, cents)
+    cents
   }
 
   /** Stateless per-row PQ encode against a baked-in codebook: the native
@@ -771,7 +813,14 @@ object Similarity {
     * with the subspace folded into every join — ending at the final
     * assignment `pa{PqIters}` (= every vector's PQ codes).
     */
-  private[graft] val pqCodesSqlPrefix: String = {
+  /** The joint-Lloyd CTE chain over an arbitrary subvector CTE `$subv`
+    * (columns vec_id, m, sub): seeds `${px}c0` from the [[SubK]] lowest
+    * vec_ids, [[PqIters]] unrolled triples, final assignment
+    * `${px}a{PqIters}` over codebook `${px}c{PqIters}`. [[s6Sql]]'s chain
+    * runs it over raw subvectors (px = "p"); [[s8Sql]] over RESIDUAL
+    * subvectors (px = "rp").
+    */
+  private def pqChainSql(subv: String, px: String): String = {
     def d2(a: String, b: String) = pqD2Sql(a, b)
     def assignCte(name: String, cents: String) = s"""
     $name AS (
@@ -779,7 +828,7 @@ object Similarity {
         SELECT v.vec_id, v.m, v.sub, c.cid,
           row_number() OVER (PARTITION BY v.vec_id, v.m
             ORDER BY ${d2("v.sub", "c.c")}, c.cid) AS rn
-        FROM subv v JOIN $cents c ON c.m = v.m) z
+        FROM $subv v JOIN $cents c ON c.m = v.m) z
       WHERE rn = 1)"""
     def meanCte(name: String, assigned: String) = s"""
     $name AS (
@@ -795,11 +844,22 @@ object Similarity {
       LEFT JOIN $mean q ON q.m = s.m AND q.cid = s.cid AND q.dim = t.i
       GROUP BY s.m, s.cid)"""
     val iters = (0 until PqIters).map { j =>
-      assignCte(s"pa$j", s"pc$j") + "," + meanCte(s"pm$j", s"pa$j") + "," +
-        nextCte(s"pc${j + 1}", s"pc$j", s"pm$j")
+      assignCte(s"${px}a$j", s"${px}c$j") + "," +
+        meanCte(s"${px}m$j", s"${px}a$j") + "," +
+        nextCte(s"${px}c${j + 1}", s"${px}c$j", s"${px}m$j")
     }.mkString(",")
     val f = PqIters
-    s"""
+    s"""${px}c0 AS (
+      SELECT s.m, CAST(seeds.rn - 1 AS INTEGER) AS cid, s.sub AS c
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM (SELECT DISTINCT vec_id FROM $subv)) seeds
+      JOIN $subv s ON s.vec_id = seeds.vec_id
+      WHERE seeds.rn <= $SubK),
+    $iters,
+    ${assignCte(s"${px}a$f", s"${px}c$f").trim}"""
+  }
+
+  private[graft] val pqCodesSqlPrefix: String = s"""
     WITH emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings),
@@ -807,15 +867,7 @@ object Similarity {
       SELECT e.vec_id, t.m,
         list_slice(e.emb, t.m * $SubDim + 1, t.m * $SubDim + $SubDim) AS sub
       FROM emb e CROSS JOIN range(0, $NumSub) t(m)),
-    pc0 AS (
-      SELECT s.m, CAST(seeds.rn - 1 AS INTEGER) AS cid, s.sub AS c
-      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-            FROM emb) seeds
-      JOIN subv s ON s.vec_id = seeds.vec_id
-      WHERE seeds.rn <= $SubK),
-    $iters,
-    ${assignCte(s"pa$f", s"pc$f").trim}"""
-  }
+    ${pqChainSql("subv", "p")}"""
 
   /** s6's oracle: [[pqCodesSqlPrefix]]'s codes, then the integer-exact
     * ADC scan, shortlist and exact re-rank.
@@ -899,14 +951,160 @@ object Similarity {
     s6Query(s, e, reloadedCodes, reloaded)
   }
 
+  /** s8: IVF-PQ with RESIDUAL encoding (Jégou PAMI'11 §IV, the FAISS
+    * `IVFPQ` composite — the index shape production vector stores deploy
+    * at billion scale): the coarse IVF quantizer ([[ivfTrain]], shared
+    * with s3) partitions the corpus into ~sqrt(N) cells, each vector's
+    * RESIDUAL against its cell centroid is PQ-encoded ([[pqTrainOf]] —
+    * residuals are far more compressible than raw vectors, which is why
+    * the composite beats flat PQ at equal code size), and a query scans
+    * only its nprobe closest cells with a PER-CELL asymmetric-distance
+    * table built from the query's residual in that cell, then
+    * exact-re-ranks the shortlist. Cost per query = nprobe/k of the code
+    * table + a bounded LUT + [[rerankDepth]] raw fetches — at 100 TB both
+    * pruning levers compose: IVF skips (k-nprobe)/k of the corpus, PQ
+    * makes what remains a 42×-smaller memory-resident scan.
+    *
+    * Deterministic end to end (both trainers' disciplines + integer-exact
+    * ADC), so the gate is a FULL hash match: the oracle replays coarse
+    * Lloyd, residuals, residual-PQ Lloyd, probes, per-cell LUTs, the
+    * BIGINT ADC scan and the tie-broken re-rank bit-for-bit.
+    */
+  def s8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (e, coarse, assigned) = ivfTrain(s, dir)
+    val k = coarse.length
+    // residuals: one broadcast join against the k×64-double codebook
+    val cdf = coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "c_emb")
+    val res = assigned
+      .join(broadcast(cdf), $"cid" === $"cell")
+      .select($"vec_id", $"cell",
+        zip_with($"emb", $"c_emb", (x, y) => x - y).as("emb"))
+      .localCheckpoint(true)
+    val cents = pqTrainOf(res.select($"vec_id", $"emb"))
+    // the stored index: (vec_id, cell, m, cid) — IVF list membership and
+    // PQ code in one skinny table
+    val codes = res
+      .select($"vec_id", $"cell",
+        posexplode(pqEncode(cents, $"emb")).as(Seq("m", "cid")))
+      .localCheckpoint(true)
+    // bounded driver work: query set, probe cells, per-(query, cell) LUTs
+    val queries = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id", $"emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+      s0
+    }
+    val lutRows = queries.toSeq.flatMap { case (qid, qe) =>
+      coarse.zipWithIndex.sortBy { case (c, i) => (d2(qe, c), i) }
+        .take(nProbe(k)).flatMap { case (cEmb, cell) =>
+          val qr = Array.tabulate(Dim)(i => qe(i) - cEmb(i))
+          (0 until NumSub).flatMap { m =>
+            (0 until SubK).map { cid =>
+              var s0 = 0.0; var i = 0
+              while (i < SubDim) {
+                val dd = qr(m * SubDim + i) - cents(m)(cid)(i)
+                s0 += dd * dd; i += 1
+              }
+              (qid, cell, m, cid, math.floor(s0 * 1e6).toLong)
+            }
+          }
+        }
+    }
+    val lut = lutRows.toDF("query_id", "cell", "m", "cid", "ticks")
+    // the scan: only codes in probed cells join; exact BIGINT ADC sums
+    val scored = codes.join(broadcast(lut), Seq("cell", "m", "cid"))
+      .filter($"query_id" =!= $"vec_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"ticks").as("adist_ticks"))
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"adist_ticks".asc, $"vec_id")
+    val shortlist = scored.withColumn("srn", row_number().over(wAdc))
+      .filter($"srn" <= rerankDepth(e.count()))
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val qEmb = queries.toSeq.map { case (qid, qe) => (qid, qe.toSeq) }
+      .toDF("query_id", "q_emb")
+    val rer = shortlist
+      .join(e.select($"vec_id".as("neighbor_id"), $"emb".as("n_emb")),
+        Seq("neighbor_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("cos", round(Vec.cosineFast($"q_emb", $"n_emb"), 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    rer.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+  }
+
+  val s8Sql: String = {
+    val f = LloydIters
+    val g = PqIters
+    s"""$ivfSqlPrefix,
+    $ivfProbeSql,
+    res AS (
+      SELECT a.vec_id, a.cid AS cell,
+        list_transform(range(1, ${Dim + 1}), i -> a.emb[i] - c.c[i]) AS remb
+      FROM a$f a JOIN c$f c ON c.cid = a.cid),
+    rsubv AS (
+      SELECT r.vec_id, t.m,
+        list_slice(r.remb, t.m * $SubDim + 1, t.m * $SubDim + $SubDim) AS sub
+      FROM res r CROSS JOIN range(0, $NumSub) t(m)),
+    ${pqChainSql("rsubv", "rp")},
+    qres AS (
+      SELECT pr.query_id, pr.cid AS cell,
+        list_transform(range(1, ${Dim + 1}), i -> pr.q_emb[i] - c.c[i]) AS qr
+      FROM pr JOIN c$f c ON c.cid = pr.cid),
+    qrsub AS (
+      SELECT query_id, cell, t.m,
+        list_slice(qr, t.m * $SubDim + 1, t.m * $SubDim + $SubDim) AS sub
+      FROM qres CROSS JOIN range(0, $NumSub) t(m)),
+    lut AS (
+      SELECT q.query_id, q.cell, q.m, c.cid,
+        CAST(floor(${pqD2Sql("q.sub", "c.c")} * 1e6) AS BIGINT) AS ticks
+      FROM qrsub q JOIN rpc$g c ON c.m = q.m),
+    scored AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+        CAST(sum(l.ticks) AS BIGINT) AS adist_ticks
+      FROM rpa$g k
+      JOIN res r ON r.vec_id = k.vec_id
+      JOIN lut l ON l.cell = r.cell AND l.m = k.m AND l.cid = k.cid
+      WHERE l.query_id <> k.vec_id
+      GROUP BY l.query_id, k.vec_id),
+    rr AS (
+      SELECT greatest(250, count(*) // 25) AS rr FROM embeddings),
+    shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adist_ticks, neighbor_id) AS srn
+        FROM scored) z, rr
+      WHERE srn <= rr.rr),
+    rer AS (
+      SELECT sl.query_id, sl.neighbor_id,
+        round(${VecSql.cosine("q.emb", "n.emb", Dim)}, 6) AS cos
+      FROM shortl sl
+      JOIN emb q ON q.vec_id = sl.query_id
+      JOIN emb n ON n.vec_id = sl.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM rer)
+    SELECT query_id, neighbor_id, cos, rnk
+    FROM ranked WHERE rnk <= $TopK"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3,
     "s4_knn_join" -> s4, "s5_radius_search" -> s5, "s6_pq_ann" -> s6,
-    "s7_pq_persist" -> s7)
+    "s7_pq_persist" -> s7, "s8_ivfpq_ann" -> s8)
 
   val oracles: Map[String, String] = Map(
     "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql, "s4_knn_join" -> s4Sql,
     "s5_radius_search" -> s5Sql, "s6_pq_ann" -> s6Sql,
-    "s7_pq_persist" -> s6Sql)
+    "s7_pq_persist" -> s6Sql, "s8_ivfpq_ann" -> s8Sql)
 }

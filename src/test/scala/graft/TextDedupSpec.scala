@@ -334,6 +334,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("s8 IVF-PQ residual index reaches recall >= 0.6 vs brute force") {
+    val truth = Similarity.s1(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.s8(s, d).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("s8 equals s3 when the ADC shortlist covers all probed candidates") {
+    // at this corpus size rerankDepth(N) exceeds the per-query candidate
+    // count, so the exact re-rank sees every probed-cell vector — the
+    // composite must then return exactly the coarse-IVF answer (the PQ
+    // stage orders the shortlist but cannot drop true candidates)
+    val s3r = Similarity.s3(s, d).collect().map(_.toSeq).toSet
+    val s8r = Similarity.s8(s, d).collect().map(_.toSeq).toSet
+    assert(s8r == s3r && s8r.nonEmpty)
+  }
+
   test("d12 rewrite equals a sequential strip-the-boilerplate reference") {
     import s.implicits._
     def md5hex(t: String): String = java.security.MessageDigest
