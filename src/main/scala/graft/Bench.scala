@@ -124,7 +124,13 @@ object Bench {
       "q43_market_share", "q44_cust_distribution", "q45_lateral_topn",
       "q46_sole_supplier", "t21_contamination", "s7_pq_persist",
       "h7_compaction", "h8_schema_evolution", "g13_stream_compaction",
-      "h9_incremental_view", "g14_stream_view_refresh")
+      "h9_incremental_view", "g14_stream_view_refresh",
+      "q47_big_orders", "q48_returned_items", "q49_nation_volume",
+      "h10_zorder_skip", "g15_stream_ann_serve",
+      "q50_late_orders", "q51_late_priority_mix", "q52_promo_share",
+      "q53_top_supplier", "q54_revenue_scan", "h11_column_stats",
+      "h12_time_travel", "a14_snapshot_read", "t22_quality_buckets",
+      "d14_bloom_prefilter", "g16_stream_quality_gate", "s8_ivfpq_ann")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
