@@ -130,7 +130,9 @@ object Bench {
       "q50_late_orders", "q51_late_priority_mix", "q52_promo_share",
       "q53_top_supplier", "q54_revenue_scan", "h11_column_stats",
       "h12_time_travel", "a14_snapshot_read", "t22_quality_buckets",
-      "d14_bloom_prefilter", "g16_stream_quality_gate", "s8_ivfpq_ann")
+      "d14_bloom_prefilter", "g16_stream_quality_gate", "s8_ivfpq_ann",
+      "q55_nation_profit", "q56_important_stock", "q57_supplier_cnt",
+      "q58_or_chain_revenue", "q23_approx_distinct", "q27_approx_quantile")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

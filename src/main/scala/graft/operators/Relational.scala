@@ -493,16 +493,69 @@ object Relational {
       min(ts) AS session_start, max(ts) AS session_end
     FROM sessions GROUP BY user_id, session_id"""
 
-  /** q23: HLL sketch distinct counts (approximate — rows-only in the gate;
-    * the spec bounds the error vs exact countDistinct).
+  /** K for [[q23]]'s native bounded-memory KMV sketch (error
+    * 1/sqrt(K-1) ≈ 2.2%, inside the 5% spec bound at >2 sigma).
+    */
+  val Q23K = 2048
+
+  /** q23: approximate distinct counts per return flag — the
+    * memory-bounded distinct sketch, now DETERMINISTIC and fully
+    * hash-gated (round-10 upgrade of the declared rows-only HLL++ form):
+    * each measure runs through the native [[graft.functions.KmvAgg]]
+    * TypedImperativeAggregate, which keeps the K smallest distinct
+    * 32-bit md5 prefixes per group in fixed O(K) memory with map-side
+    * partial aggregation — at 100 TB each partition ships ≤K longs into
+    * one exchange, same cost envelope as HLL++ registers, but the
+    * result is an order-independent function of the value set that the
+    * DuckDB oracle replays exactly with a distinct + row_number window.
+    * Underfull groups (< K distinct hashes) report the exact count;
+    * `(K-1)·2^32` is one exactly-representable double literal so the
+    * estimate is a single portable IEEE division. q36 keeps the
+    * window-function formulation of the same estimator for contrast.
     */
   def q23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    def est(sk: Column): Column = {
+      val n = element_at(sk, 1)
+      val kth = element_at(sk, 2)
+      round(when(kth.isNull || kth === 0L, n.cast("double"))
+        .otherwise(lit((Q23K - 1).toDouble * 4294967296.0) /
+          kth.cast("double")), 4)
+    }
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .agg(
+        graft.functions.KmvAgg(h($"l_orderkey"), Q23K).as("sk_o"),
+        graft.functions.KmvAgg(h($"l_partkey"), Q23K).as("sk_p"))
+      .select($"l_returnflag",
+        est($"sk_o").as("approx_orders"),
+        est($"sk_p").as("approx_parts"))
   }
+
+  private def q23MeasureSql(col: String): String = s"""
+    WITH d AS (SELECT DISTINCT l_returnflag,
+        CAST(('0x' || substring(md5(CAST($col AS VARCHAR)), 1, 8))::UBIGINT
+             AS BIGINT) AS h
+      FROM lineitem),
+    r AS (SELECT l_returnflag, h,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM d),
+    nd AS (SELECT l_returnflag, count(*) AS n FROM d GROUP BY 1),
+    kth AS (SELECT l_returnflag, h AS kh FROM r WHERE rn = $Q23K)
+    SELECT nd.l_returnflag AS l_returnflag,
+      round(CASE WHEN kth.kh IS NULL OR kth.kh = 0
+        THEN CAST(nd.n AS DOUBLE)
+        ELSE (${(Q23K - 1).toDouble} * 4294967296.0) / CAST(kth.kh AS DOUBLE)
+        END, 4) AS est
+    FROM nd LEFT JOIN kth USING (l_returnflag)"""
+
+  val q23Sql: String = s"""
+    WITH eo AS (${q23MeasureSql("l_orderkey")}),
+    ep AS (${q23MeasureSql("l_partkey")})
+    SELECT eo.l_returnflag, eo.est AS approx_orders, ep.est AS approx_parts
+    FROM eo JOIN ep USING (l_returnflag)"""
 
   /** K for [[q36]]'s K-minimum-values estimator. */
   val KmvK = 64
@@ -615,17 +668,61 @@ object Relational {
       .select($"v_user".as("user_id"), $"view_id", $"click_id")
   }
 
-  /** q27: approximate quantile sketch (rows-only; error-bounded spec). */
+  /** q27's deterministic sample threshold: keep rows whose 32-bit md5
+    * prefix is < 2^29, i.e. a 1/8 Bernoulli sample keyed on the
+    * (orderkey, linenumber) row identity — q37's exact-integer sampling
+    * discipline, so both engines select the identical row set.
+    */
+  val Q27Thr = 536870912L
+
+  /** q27: approximate quantiles per return flag — now DETERMINISTIC and
+    * fully hash-gated (round-10 upgrade of the declared rows-only
+    * approx_percentile form, whose GK sketch is engine-private): a
+    * hash-threshold Bernoulli sample (the sketch's memory budget — the
+    * threshold is the knob; at 100 TB it shrinks so the per-group sample
+    * stays thousands of rows) followed by EXACT integer-rank selection
+    * on the sample: idx_q = ((n-1)·q_pct) DIV 100, the sample value at
+    * that rank — element selection, not interpolation, so no float
+    * arithmetic touches the result and DuckDB replays it bit-for-bit.
+    * One filtered scan + one per-group window over sampled rows only.
+    * Sampling error at ~2.5k samples/group keeps p50/p95 inside the 2%
+    * spec bound vs the exact quantiles.
+    */
   def q27(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag")
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-        .as("approx_p"))
-      .select($"l_returnflag",
-        element_at($"approx_p", 1).as("p50"),
-        element_at($"approx_p", 2).as("p95"))
+    val u = conv(substring(md5(concat(lit("q27"),
+      $"l_orderkey".cast("string"), lit("_"),
+      $"l_linenumber".cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy($"l_returnflag")
+    val ranked = Tables.lineitem(s, dir)
+      .filter(u < Q27Thr)
+      .select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rn", row_number().over(w.orderBy($"l_extendedprice")))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.groupBy($"l_returnflag")
+      .agg(
+        max(when($"rn" === expr("((n - 1) * 50) DIV 100") + 1,
+          $"l_extendedprice")).as("p50"),
+        max(when($"rn" === expr("((n - 1) * 95) DIV 100") + 1,
+          $"l_extendedprice")).as("p95"))
   }
+
+  val q27Sql: String = s"""
+    WITH f AS (SELECT l_returnflag, l_extendedprice FROM lineitem
+      WHERE CAST(('0x' || substring(md5('q27' || CAST(l_orderkey AS VARCHAR)
+          || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8))::UBIGINT
+          AS BIGINT) < $Q27Thr),
+    w AS (SELECT l_returnflag, l_extendedprice,
+        row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM f)
+    SELECT l_returnflag,
+      max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+          THEN l_extendedprice END) AS p50,
+      max(CASE WHEN rn = ((n - 1) * 95) // 100 + 1
+          THEN l_extendedprice END) AS p95
+    FROM w GROUP BY l_returnflag"""
 
   /** q28: correlated scalar subquery through the SQL face (Catalyst
     * decorrelates it into an aggregate + join; the threshold uses the
@@ -1411,7 +1508,153 @@ object Relational {
       AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
 
+  /** q55: TPC-H Q9 shape — product-type profit by nation and year (the
+    * schema has no partsupp, so supply cost is the standard proxy
+    * 0.6·p_retailprice·l_quantity): name-filtered parts and supplier
+    * nation ride size-guarded/fixed broadcasts onto the fact scan, the
+    * one fact-fact join (lineitem ⋈ orders for the order year) shuffles
+    * on orderkey, profit aggregates per (nation, year) in exact decimal.
+    * The LIKE filter prunes part before its broadcast, not after a join.
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prt = Tables.part(s, dir)
+      .filter($"p_name".contains("gear"))
+      .select($"p_partkey", $"p_retailprice")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    Tables.lineitem(s, dir)
+      .join(Hints.maybeBroadcast(prt), $"l_partkey" === $"p_partkey")
+      .join(Hints.maybeBroadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"),
+        year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity").as("profit"))
+  }
+
+  val q55Sql: String = s"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity")} AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2"""
+
+  /** q56: TPC-H Q11 shape — important stock: per-part traded value from
+    * the suppliers of three nations, kept only where it exceeds a
+    * fraction of the nation-group total. The per-part aggregate is
+    * computed ONCE and feeds both the global total (a 1-row broadcast,
+    * q53's reuse discipline) and the output rows; the threshold compare
+    * runs on rounded exact-decimal doubles with one IEEE multiply, so
+    * the boundary is bit-stable in both engines.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = Seq("NATION_3", "NATION_8", "NATION_12")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name".isin(nations: _*))
+      .select($"s_suppkey")
+    val value = Tables.lineitem(s, dir)
+      .join(Hints.maybeBroadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("value"))
+    val total = value.agg(dsum($"value", 4).as("total"))
+    value.crossJoin(broadcast(total))
+      .filter($"value" > lit(0.001) * $"total")
+      .select($"l_partkey", $"value")
+  }
+
+  val q56Sql: String = s"""
+    WITH v AS (
+      SELECT l_partkey,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+      GROUP BY l_partkey)
+    SELECT l_partkey, value FROM v
+    WHERE value > 0.001 * (SELECT ${dsumSql("value", 4)} FROM v)"""
+
+  /** q57: TPC-H Q16 shape — supplier counts per part attribute triple:
+    * how many DISTINCT suppliers ship each (brand, type, size) combo,
+    * with one brand and one type excluded and "complaint" suppliers
+    * (negative account balance) removed by an anti join on a tiny
+    * broadcast side. The part↔supplier association is the distinct
+    * (l_partkey, l_suppkey) projection of the fact table — the distinct
+    * and the count-distinct are the same two-phase partial aggregation,
+    * the scale-safe shape for a corpus-wide distinct count.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = Seq(1, 4, 9, 14, 19, 24, 29, 34)
+    val prt = Tables.part(s, dir)
+      .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(sizes: _*))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val complaints = Tables.supplier(s, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(complaints), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(Hints.maybeBroadcast(prt), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").cast("long").as("supplier_cnt"))
+  }
+
+  val q57Sql: String = """
+    SELECT p_brand, p_type, p_size,
+      CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size"""
+
+  /** q58: TPC-H Q19 shape — discounted revenue over an OR of three
+    * conjunctive (brand, size-range, quantity-range) branches: the
+    * disjunction references both join sides, so it rides the partkey
+    * equi-join as its non-equi residual; Catalyst's CNF extraction pulls
+    * the part-only disjuncts (brand ∨ brand ∨ brand, size ≤ 15) down to
+    * the part scan so the broadcast side is pre-pruned.
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prt = Tables.part(s, dir)
+      .select($"p_partkey", $"p_brand", $"p_size")
+    Tables.lineitem(s, dir)
+      .join(Hints.maybeBroadcast(prt), $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20, 30))))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+  }
+
+  val q58Sql: String = s"""
+    SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)"""
+
   val queries: Map[String, Q] = Map(
+    "q55_nation_profit" -> q55, "q56_important_stock" -> q56,
+    "q57_supplier_cnt" -> q57, "q58_or_chain_revenue" -> q58,
     "q50_late_orders" -> q50, "q51_late_priority_mix" -> q51,
     "q52_promo_share" -> q52, "q53_top_supplier" -> q53,
     "q54_revenue_scan" -> q54,
@@ -1440,6 +1683,9 @@ object Relational {
     "q36_kmv_distinct" -> q36)
 
   val oracles: Map[String, String] = Map(
+    "q55_nation_profit" -> q55Sql, "q56_important_stock" -> q56Sql,
+    "q57_supplier_cnt" -> q57Sql, "q58_or_chain_revenue" -> q58Sql,
+    "q23_approx_distinct" -> q23Sql, "q27_approx_quantile" -> q27Sql,
     "q50_late_orders" -> q50Sql, "q51_late_priority_mix" -> q51Sql,
     "q52_promo_share" -> q52Sql, "q53_top_supplier" -> q53Sql,
     "q54_revenue_scan" -> q54Sql,

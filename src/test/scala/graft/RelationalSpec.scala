@@ -8,13 +8,9 @@ class RelationalSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val d = TestSpark.sf
 
-  // approximate sketches are rows-only by design (spec-bounded instead)
-  private val rowsOnly = Set("q23_approx_distinct", "q27_approx_quantile")
-
   test("every relational query has an oracle and runs non-empty") {
     Relational.queries.foreach { case (name, fn) =>
-      assert(rowsOnly(name) || Relational.oracles.contains(name),
-        s"$name missing oracle")
+      assert(Relational.oracles.contains(name), s"$name missing oracle")
       val df = fn(s, d)
       assert(df.count() > 0, s"$name returned no rows")
     }

@@ -49,23 +49,37 @@ class ScaleSpec extends AnyFunSuite {
     s.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
-  test("q27 quantile sketch is within 2% of exact quantiles") {
+  test("q27 sampled quantiles hit the target RANK within 3 sigma") {
+    // a sampling quantile sketch guarantees rank error (the epsilon-n
+    // bound GK/KLL state), not value error: the estimate's position in
+    // the exact sorted data must sit within 3 binomial sigmas
+    // sqrt(q(1-q)/n_sample) of the target quantile
     val approx = Relational.q27(s, d).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95")).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (e50, e95)) =>
-      val (a50, a95) = approx(k)
-      assert(math.abs(a50 - e50) <= 0.02 * e50, s"$k p50 $a50 vs $e50")
-      assert(math.abs(a95 - e95) <= 0.02 * e95, s"$k p95 $a95 vs $e95")
+    val all = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    // same sample sizes the query saw (1/8 Bernoulli per group)
+    val nSamp = all.view.mapValues(_.length / 8.0).toMap
+    approx.foreach { case (k, (a50, a95)) =>
+      val xs = all(k)
+      def rankErr(v: Double, q: Double): Double = {
+        val lo = xs.indexWhere(_ >= v)
+        val hi = xs.lastIndexWhere(_ <= v)
+        val target = q * (xs.length - 1)
+        math.min(math.abs(lo - target), math.abs(hi - target)) / xs.length
+      }
+      def sigma(q: Double): Double = math.sqrt(q * (1 - q) / nSamp(k))
+      assert(rankErr(a50, 0.50) <= 3 * sigma(0.50), s"$k p50 rank err")
+      assert(rankErr(a95, 0.95) <= 3 * sigma(0.95), s"$k p95 rank err")
     }
+    assert(approx.nonEmpty)
   }
 
-  test("q23 HLL sketch is within 5% of exact distinct counts") {
+  test("q23 KMV sketch is within 5% of exact distinct counts") {
     val approx = Relational.q23(s, d).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("o"),
         countDistinct(col("l_partkey")).as("p")).collect()
