@@ -1547,12 +1547,15 @@ object Relational {
     GROUP BY 1, 2"""
 
   /** q56: TPC-H Q11 shape — important stock: per-part traded value from
-    * the suppliers of three nations, kept only where it exceeds a
-    * fraction of the nation-group total. The per-part aggregate is
-    * computed ONCE and feeds both the global total (a 1-row broadcast,
-    * q53's reuse discipline) and the output rows; the threshold compare
-    * runs on rounded exact-decimal doubles with one IEEE multiply, so
-    * the boundary is bit-stable in both engines.
+    * the suppliers of three nations, kept only where it exceeds 1.5× the
+    * MEAN per-part value (TPC-H scales Q11's fraction by 1/SF for exactly
+    * this reason — a fixed fraction of the total empties out as the part
+    * domain grows; the mean-multiple form is scale-invariant). The
+    * per-part aggregate is computed ONCE and feeds both the 1-row global
+    * (total, count) broadcast (q53's reuse discipline) and the output
+    * rows; the threshold compare runs on rounded exact-decimal doubles
+    * with one IEEE divide + multiply, so the boundary is bit-stable in
+    * both engines.
     */
   def q56(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1565,9 +1568,10 @@ object Relational {
       .join(Hints.maybeBroadcast(sup), $"l_suppkey" === $"s_suppkey")
       .groupBy($"l_partkey")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("value"))
-    val total = value.agg(dsum($"value", 4).as("total"))
+    val total = value.agg(dsum($"value", 4).as("total"),
+      count(lit(1)).as("nparts"))
     value.crossJoin(broadcast(total))
-      .filter($"value" > lit(0.001) * $"total")
+      .filter($"value" > lit(1.5) * ($"total" / $"nparts"))
       .select($"l_partkey", $"value")
   }
 
@@ -1579,9 +1583,10 @@ object Relational {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
-      GROUP BY l_partkey)
+      GROUP BY l_partkey),
+    t AS (SELECT ${dsumSql("value", 4)} AS total, count(*) AS nparts FROM v)
     SELECT l_partkey, value FROM v
-    WHERE value > 0.001 * (SELECT ${dsumSql("value", 4)} FROM v)"""
+    WHERE value > 1.5 * ((SELECT total FROM t) / (SELECT nparts FROM t))"""
 
   /** q57: TPC-H Q16 shape — supplier counts per part attribute triple:
     * how many DISTINCT suppliers ship each (brand, type, size) combo,

@@ -69,7 +69,7 @@ class Tpch2ShapesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val total = value.values.map(dec10(_)).sum
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val exp = value.filter { case (_, v) => v > 0.001 * total }
+    val exp = value.filter { case (_, v) => v > 1.5 * (total / value.size) }
     assert(rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap == exp)
     assert(exp.size < value.size, "threshold should prune some parts")
   }
