@@ -710,7 +710,91 @@ object StreamOps {
 
   val g16Sql: String = graft.operators.TextOps.oracles("t14_quality_gate")
 
+  /** K for [[g17]]'s per-group streaming KMV state. */
+  val StreamKmvK = 256
+
+  final case class KmvEvent(etype: String, h: Long)
+  final case class KmvState(hs: Array[Long])
+  final case class KmvEmit(event_type: String, n: Long, kth: Option[Long])
+
+  /** g17: STREAMING DISTINCT-COUNT SKETCH — continuous per-event-type
+    * approximate user counts with BOUNDED state (the q23↔g17 sketch
+    * pairing, the way g16 pairs t14): each group's
+    * `flatMapGroupsWithState` state is the K smallest distinct 32-bit
+    * md5 prefixes seen so far — O(K) longs per group FOREVER, where
+    * g8's exact streaming distinct holds per-user rows. The K-min set
+    * is an order-independent, idempotent-merge function of the value
+    * set, so the micro-batch arrival order is irrelevant and the final
+    * state equals the batch [[graft.functions.KmvAgg]] over the whole
+    * stream — which is what the spec asserts and the oracle (a
+    * q23-style distinct + row_number replay at K=256) hash-checks. The
+    * estimate arithmetic stays OUTSIDE the state function, in the same
+    * Spark column expressions q23 uses, so both engines' one IEEE
+    * division see identical operands. A per-group sentinel batch
+    * triggers the single final emission (g2's close-out discipline).
+    */
+  def g17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = StreamKmvK
+    val ev = Tables.events(s, dir).select($"event_type".as("etype"),
+      conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val sentinels = ev.select($"etype").distinct()
+      .select($"etype", lit(-1L).as("h"))
+    val emitted = StreamRunner.runFiles(s,
+        Seq(ev.filter($"h" % 2 === 0), ev.filter($"h" % 2 === 1),
+          sentinels)) { df =>
+      df.as[KmvEvent].groupByKey(_.etype)
+        .flatMapGroupsWithState[KmvState, KmvEmit](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (etype, it, gs) =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          gs.getOption.foreach(_.hs.foreach(set.add(_)))
+          var fin = false
+          it.foreach { e =>
+            if (e.h < 0) fin = true
+            else if (set.size < k) set.add(e.h)
+            else if (e.h < set.last()) {
+              if (set.add(e.h)) { set.remove(set.last()); () }
+            }
+          }
+          val hs = new Array[Long](set.size)
+          val iter = set.iterator()
+          var i = 0
+          while (iter.hasNext) { hs(i) = iter.next(); i += 1 }
+          gs.update(KmvState(hs))
+          if (fin)
+            Iterator.single(KmvEmit(etype, hs.length.toLong,
+              if (hs.length == k) Some(hs.last) else None))
+          else Iterator.empty
+        }.toDF()
+    }
+    emitted.select(col("event_type"),
+      round(when(col("kth").isNull || col("kth") === 0L,
+        col("n").cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+          col("kth").cast("double")), 4).as("approx_users"))
+  }
+
+  val g17Sql: String = s"""
+    WITH d AS (SELECT DISTINCT event_type,
+        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+             AS BIGINT) AS h
+      FROM events),
+    r AS (SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d),
+    nd AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    kth AS (SELECT event_type, h AS kh FROM r WHERE rn = $StreamKmvK)
+    SELECT nd.event_type,
+      round(CASE WHEN kth.kh IS NULL OR kth.kh = 0
+        THEN CAST(nd.n AS DOUBLE)
+        ELSE (${(StreamKmvK - 1).toDouble} * 4294967296.0)
+             / CAST(kth.kh AS DOUBLE)
+        END, 4) AS approx_users
+    FROM nd LEFT JOIN kth USING (event_type)"""
+
   val queries: Map[String, Q] = Map(
+    "g17_stream_kmv_distinct" -> g17,
     "g16_stream_quality_gate" -> g16,
     "g15_stream_ann_serve" -> g15,
     "g14_stream_view_refresh" -> g14,
@@ -723,6 +807,7 @@ object StreamOps {
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
+    "g17_stream_kmv_distinct" -> g17Sql,
     "g16_stream_quality_gate" -> g16Sql,
     "g15_stream_ann_serve" -> g15Sql,
     "g14_stream_view_refresh" -> g14Sql,

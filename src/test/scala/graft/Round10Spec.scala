@@ -109,4 +109,24 @@ class Round10Spec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(got == exp && got.nonEmpty)
   }
+
+  test("g17 streamed KMV state equals the batch KmvAgg over the stream") {
+    import s.implicits._
+    val got = streaming.StreamOps.g17(s, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val k = streaming.StreamOps.StreamKmvK
+    val sk = Tables.events(s, d)
+      .select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy($"event_type")
+      .agg(graft.functions.KmvAgg(col("h"), k).as("sk"))
+      .select($"event_type",
+        round(when(element_at($"sk", 2).isNull || element_at($"sk", 2) === 0L,
+          element_at($"sk", 1).cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at($"sk", 2).cast("double")), 4).as("approx_users"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == sk && got.nonEmpty)
+  }
 }
