@@ -1657,7 +1657,70 @@ object Relational {
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 20 AND 30)"""
 
+  /** K for [[q59]]'s (and g18's) mergeable distinct-value quantile
+    * sketch. */
+  val QSketchK = 2048
+
+  /** q59: MERGEABLE QUANTILE SKETCH — per-flag p50/p95 extended price
+    * via [[graft.functions.QuantileSketchAgg]], the distinct-value
+    * bottom-K-by-hash sample with exact per-value counts (Gibbons'
+    * distinct sampling). Completes the sketch triple: q23/q36 KMV
+    * (distinct count), q41 histogram (fixed-grid quantile), q59
+    * (mergeable value-sample quantile — the state-object form q27's
+    * row sample lacks, which is what lets g18 stream it). One scan,
+    * map-side-combined to O(K) per group per partition; the weighted
+    * rank walk over the ≤K-row sample is integer-exact threshold tests
+    * (2·cum ≥ n, 20·cum ≥ 19·n) and the single division v/100.0 is the
+    * one IEEE op both engines see — full DuckDB hash gate via the
+    * `row_number() OVER (ORDER BY hv, v) <= K` replay.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val hv = conv(substring(md5(concat(lit("q59"),
+      cents.cast("string"))), 1, 8), 16, 10).cast("long")
+    val sk = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(graft.functions.QuantileSketchAgg(hv, cents, QSketchK).as("sk"))
+    val ex = sk.select($"l_returnflag", explode($"sk").as("e"))
+      .select($"l_returnflag", $"e.v".as("v"), $"e.c".as("c"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ex.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag")
+      .agg((min(when($"cum" * 2 >= $"n", $"v")) / 100.0).as("p50_est"),
+        (min(when($"cum" * 20 >= $"n" * 19, $"v")) / 100.0).as("p95_est"))
+  }
+
+  val q59Sql: String = s"""
+    WITH vals AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        count(*) AS c
+      FROM lineitem GROUP BY 1, 2),
+    h AS (
+      SELECT l_returnflag, v, c,
+        CAST(('0x' || substring(md5('q59' || CAST(v AS VARCHAR)), 1, 8))::UBIGINT
+             AS BIGINT) AS hv
+      FROM vals),
+    r AS (
+      SELECT l_returnflag, v, c,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv, v) AS rn
+      FROM h),
+    cum AS (
+      SELECT l_returnflag, v, c,
+        sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        sum(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM r WHERE rn <= $QSketchK)
+    SELECT l_returnflag,
+      CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS DOUBLE) / 100.0
+        AS p50_est,
+      CAST(min(CASE WHEN cum * 20 >= n * 19 THEN v END) AS DOUBLE) / 100.0
+        AS p95_est
+    FROM cum GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "q59_quantile_sketch" -> q59,
     "q55_nation_profit" -> q55, "q56_important_stock" -> q56,
     "q57_supplier_cnt" -> q57, "q58_or_chain_revenue" -> q58,
     "q50_late_orders" -> q50, "q51_late_priority_mix" -> q51,
@@ -1688,6 +1751,7 @@ object Relational {
     "q36_kmv_distinct" -> q36)
 
   val oracles: Map[String, String] = Map(
+    "q59_quantile_sketch" -> q59Sql,
     "q55_nation_profit" -> q55Sql, "q56_important_stock" -> q56Sql,
     "q57_supplier_cnt" -> q57Sql, "q58_or_chain_revenue" -> q58Sql,
     "q23_approx_distinct" -> q23Sql, "q27_approx_quantile" -> q27Sql,

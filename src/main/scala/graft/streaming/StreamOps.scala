@@ -793,7 +793,128 @@ object StreamOps {
         END, 4) AS approx_users
     FROM nd LEFT JOIN kth USING (event_type)"""
 
+  /** K for [[g18]]'s streaming quantile sketch (shared with q59's batch
+    * form). */
+  val StreamQSketchK = graft.operators.Relational.QSketchK
+
+  final case class QskEvent(etype: String, hv: Long, v: Long)
+  final case class QskState(hv: Array[Long], v: Array[Long], c: Array[Long])
+  final case class QskEmit(event_type: String, v: Long, c: Long)
+
+  /** g18: STREAMING QUANTILE SKETCH — continuous per-event-type p50/p95
+    * of `value` with BOUNDED state (the q59↔g18 sketch pairing, closing
+    * the streaming-sketch set q23↔g17 opened): each group's
+    * `flatMapGroupsWithState` state is q59's mergeable distinct-value
+    * sample — the K smallest `(hash, gridValue)` pairs with EXACT
+    * per-value counts, O(K) triples per group FOREVER regardless of
+    * stream length. Because a value in the final K-min set can never
+    * have been evicted (fewer than K smaller hashes exist globally, so
+    * in every prefix), its count accumulates exactly across
+    * micro-batches and the final state equals the batch
+    * [[graft.functions.QuantileSketchAgg]] over the whole stream (the
+    * spec's assertion); the DuckDB oracle replays the sample with
+    * `row_number() OVER (ORDER BY hv, v) <= K` and the same integer
+    * rank walk, so the streaming op carries a full hash gate. Values
+    * ride a 1e-4 grid (`round(value*10000)`) so both engines hash and
+    * order identical longs; the one division `/10000.0` happens outside
+    * the state function. Per-group sentinel triggers the single final
+    * sample emission (g2's close-out discipline); the quantile
+    * selection over the ≤K emitted rows is q59's column algebra.
+    */
+  def g18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = StreamQSketchK
+    val grid = expr("CAST(round(value * 10000) AS BIGINT)")
+    val ev = Tables.events(s, dir).filter($"value".isNotNull)
+      .select($"event_type".as("etype"),
+        conv(substring(md5(concat(lit("g18"), grid.cast("string"))), 1, 8),
+          16, 10).cast("long").as("hv"),
+        grid.as("v"))
+    val sentinels = ev.select($"etype").distinct()
+      .select($"etype", lit(-1L).as("hv"), lit(0L).as("v"))
+    val ordKey = (hv: Long, v: Long) => (hv, v)
+    val emitted = StreamRunner.runFiles(s,
+        Seq(ev.filter($"v" % 2 === 0), ev.filter($"v" % 2 =!= 0),
+          sentinels)) { df =>
+      df.as[QskEvent].groupByKey(_.etype)
+        .flatMapGroupsWithState[QskState, QskEmit](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (etype, it, gs) =>
+          val ord = Ordering.Tuple2[Long, Long]
+          val m = new java.util.TreeMap[(Long, Long), Long](ord)
+          gs.getOption.foreach { st =>
+            var i = 0
+            while (i < st.hv.length) {
+              m.put(ordKey(st.hv(i), st.v(i)), st.c(i)); i += 1
+            }
+          }
+          var fin = false
+          it.foreach { e =>
+            if (e.hv < 0) fin = true
+            else {
+              val key = ordKey(e.hv, e.v)
+              if (m.containsKey(key)) { m.put(key, m.get(key) + 1L); () }
+              else if (m.size < k) { m.put(key, 1L); () }
+              else if (ord.compare(key, m.lastKey()) < 0) {
+                m.put(key, 1L); m.remove(m.lastKey()); ()
+              }
+            }
+          }
+          val n = m.size
+          val hs = new Array[Long](n); val vs = new Array[Long](n)
+          val cs = new Array[Long](n)
+          val iter = m.entrySet().iterator()
+          var i = 0
+          while (iter.hasNext) {
+            val e = iter.next()
+            hs(i) = e.getKey._1; vs(i) = e.getKey._2; cs(i) = e.getValue
+            i += 1
+          }
+          gs.update(QskState(hs, vs, cs))
+          if (fin) (0 until n).iterator.map(j => QskEmit(etype, vs(j), cs(j)))
+          else Iterator.empty
+        }.toDF()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    emitted
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg((min(when($"cum" * 2 >= $"n", $"v")) / 10000.0).as("p50_est"),
+        (min(when($"cum" * 20 >= $"n" * 19, $"v")) / 10000.0).as("p95_est"))
+  }
+
+  val g18Sql: String = s"""
+    WITH vals AS (
+      SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v,
+        count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    h AS (
+      SELECT event_type, v, c,
+        CAST(('0x' || substring(md5('g18' || CAST(v AS VARCHAR)), 1, 8))::UBIGINT
+             AS BIGINT) AS hv
+      FROM vals),
+    r AS (
+      SELECT event_type, v, c,
+        row_number() OVER (PARTITION BY event_type ORDER BY hv, v) AS rn
+      FROM h),
+    cum AS (
+      SELECT event_type, v, c,
+        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        sum(c) OVER (PARTITION BY event_type) AS n
+      FROM r WHERE rn <= $StreamQSketchK)
+    SELECT event_type,
+      CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS DOUBLE) / 10000.0
+        AS p50_est,
+      CAST(min(CASE WHEN cum * 20 >= n * 19 THEN v END) AS DOUBLE) / 10000.0
+        AS p95_est
+    FROM cum GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "g18_stream_quantile" -> g18,
     "g17_stream_kmv_distinct" -> g17,
     "g16_stream_quality_gate" -> g16,
     "g15_stream_ann_serve" -> g15,
@@ -807,6 +928,7 @@ object StreamOps {
     "g7_stream_outer_interval_join" -> g7, "g8_stream_distinct_users" -> g8)
 
   val oracles: Map[String, String] = Map(
+    "g18_stream_quantile" -> g18Sql,
     "g17_stream_kmv_distinct" -> g17Sql,
     "g16_stream_quality_gate" -> g16Sql,
     "g15_stream_ann_serve" -> g15Sql,

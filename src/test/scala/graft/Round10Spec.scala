@@ -129,4 +129,68 @@ class Round10Spec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == sk && got.nonEmpty)
   }
+
+  test("q59 sketch is partitioning-invariant (mergeable state object)") {
+    import s.implicits._
+    val k = Relational.QSketchK
+    val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val hv = conv(substring(md5(concat(lit("q59"), cents.cast("string"))),
+      1, 8), 16, 10).cast("long")
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"l_returnflag")
+      .agg(graft.functions.QuantileSketchAgg(hv, cents, k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val base = Tables.lineitem(s, d)
+    // one partition vs many arbitrary hash partitions: identical sample
+    // AND identical exact counts — the mergeability invariant
+    val one = sketch(base.coalesce(1))
+    val many = sketch(base.repartition(13, $"l_partkey"))
+    assert(one == many && one.nonEmpty)
+  }
+
+  test("q59 estimates land within 5% rank error of the exact quantiles") {
+    import s.implicits._
+    val est = Relational.q59(s, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    li.foreach { case (flag, xs) =>
+      val (p50, p95) = est(flag)
+      // rank error: fraction of values below the estimate vs target rank
+      def rankOf(v: Double) = xs.count(_ <= v).toDouble / xs.length
+      assert(math.abs(rankOf(p50) - 0.50) < 0.05,
+        s"$flag p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) < 0.05,
+        s"$flag p95 rank ${rankOf(p95)}")
+    }
+  }
+
+  test("g18 streamed quantile sketch equals the batch QuantileSketchAgg") {
+    import s.implicits._
+    val got = streaming.StreamOps.g18(s, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val k = streaming.StreamOps.StreamQSketchK
+    val grid = expr("CAST(round(value * 10000) AS BIGINT)")
+    val hv = conv(substring(md5(concat(lit("g18"), grid.cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val sk = Tables.events(s, d).filter($"value".isNotNull)
+      .groupBy($"event_type")
+      .agg(graft.functions.QuantileSketchAgg(hv, grid, k).as("sk"))
+      .select($"event_type", explode($"sk").as("e"))
+      .select($"event_type", $"e.v".as("v"), $"e.c".as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val exp = sk.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg((min(when($"cum" * 2 >= $"n", $"v")) / 10000.0).as("p50_est"),
+        (min(when($"cum" * 20 >= $"n" * 19, $"v")) / 10000.0).as("p95_est"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == exp && got.nonEmpty)
+  }
 }
