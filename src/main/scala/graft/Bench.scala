@@ -143,13 +143,27 @@ object Bench {
         }
       }
     }
+    // g10/g12/g13/g14 conflate ingest SIMULATION (base-table/index
+    // writes, staged-batch replay) with the maintenance OPERATOR; their
+    // foreachBatch op bodies self-report via StreamOps.MaintTimer, and
+    // the rep that wins the min records its op/sim split alongside
+    val maintNames = Set("g10_stream_ingest_dedup", "g12_stream_upsert",
+      "g13_stream_compaction", "g14_stream_view_refresh")
+    val maintSplit = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val extraResults = extraNames.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
+          if (maintNames(name)) streaming.StreamOps.MaintTimer.reset()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (maintNames(name)) {
+              val op = streaming.StreamOps.MaintTimer.seconds
+              if (!maintSplit.get(name).exists(t => t._1 + t._2 <= sec))
+                maintSplit(name) = (op, sec - op)
+            }
+            sec
           } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"bench failed for $name: $e")
@@ -163,6 +177,9 @@ object Bench {
     }
     val extras = extraResults.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
+    val maint = maintSplit.toSeq.sortBy(_._1).map { case (k, (op, sim)) =>
+      "\"" + k + f"""":{"op_s":$op%.3f,"sim_s":$sim%.3f}"""
+    }.mkString("{", ",", "}")
 
     // multi-key txn engine cost shape, tracked per round: the gate
     // workload's component census (the fold path's parallelism dimension)
@@ -274,7 +291,7 @@ object Bench {
         f""""d2_sec":$t2%.3f,"d2_frac":${frac(c2, nd)}%.5f,""" +
         f""""d5_sec":$t5%.3f,"d5_frac":${frac(c5, nv)}%.5f}"""
     } else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extras":$extras,"txn":{$txnStats},"ann":$ann$probes,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"extras":$extras,"maint":$maint,"txn":{$txnStats},"ann":$ann$probes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Bench seam (round-10 verdict item 4): the g10/g12/g13/g14 wall
+    * times conflate the ingest SIMULATION each invocation re-runs
+    * (writing the base table / persisted index, staging micro-batches,
+    * replaying them through a real readStream feeder) with the
+    * MAINTENANCE OPERATOR the op actually contributes (the per-batch
+    * merge / candidate join / compaction rewrite / view update). The
+    * operator portions wrap themselves in [[timed]]; the bench resets
+    * the accumulator, runs the query, and reports
+    * `op_s = seconds`, `sim_s = total − op_s` — so a maintenance-path
+    * regression is visible instead of drowned in staging noise.
+    * AtomicLong because foreachBatch bodies run on the streaming
+    * micro-batch thread, not the caller's.
+    */
+  private[graft] object MaintTimer {
+    private val ns = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = ns.set(0L)
+    def timed[A](body: => A): A = {
+      val t0 = System.nanoTime()
+      try body finally { ns.addAndGet(System.nanoTime() - t0); () }
+    }
+    def seconds: Double = ns.get / 1e9
+  }
+
   /** g1: streaming dedup — first occurrence of each (user_id, event_type)
     * pair across micro-batches (dropDuplicates keyed state). Fed from
     * staged files ([[StreamRunner.runFiles]]): the events table never
@@ -358,7 +381,7 @@ object StreamOps {
     val out = StreamRunner.stagingRoot(s, "g10_")
     StreamRunner.runForeachFiles(s,
         Seq(fresh.filter($"doc_id" % 2 === 0),
-          fresh.filter($"doc_id" % 2 === 1))) { (batch, _) =>
+          fresh.filter($"doc_id" % 2 === 1))) { (batch, _) => MaintTimer.timed {
       val bb = Dedup.bandRowsOf(batch).toDF("b_id", "bi", "bh")
       val cand = corpusBands.join(bb, Seq("bi", "bh"))
         .select(col("a_id"), col("b_id")).distinct()
@@ -375,7 +398,7 @@ object StreamOps {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
         .write.mode("append").parquet(out)
-    }
+    } }
     s.read.parquet(out)
   }
 
@@ -458,7 +481,7 @@ object StreamOps {
     try {
       StreamRunner.runForeachFiles(s,
           Seq(delta.filter(col("seq") === 1),
-            delta.filter(col("seq") === 2))) { (batch, _) =>
+            delta.filter(col("seq") === 2))) { (batch, _) => MaintTimer.timed {
         val d = batch.localCheckpoint(true)
         val touched = d.select(bucketOf.as("bucket")).distinct()
           .collect().map(_.getInt(0)) // bounded: <= UpsertBuckets ids
@@ -469,7 +492,7 @@ object StreamOps {
         val merged = Roundtrip.applyCdc(cur.drop("bucket"), d)
           .withColumn("bucket", bucketOf).localCheckpoint(true)
         merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
-      }
+      } }
     } finally prev match {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -519,7 +542,7 @@ object StreamOps {
       // count what the append actually produced (empty shuffle
       // partitions write no file), not the requested partition count
       appended += parquetFiles(tbl).length - before
-      if (parquetFiles(tbl).length >= CompactThreshold) {
+      if (parquetFiles(tbl).length >= CompactThreshold) MaintTimer.timed {
         // materialize BEFORE the overwrite deletes the files the lazy
         // plan would re-read (the g12 discipline)
         val all = s.read.parquet(tbl).localCheckpoint(true)
@@ -583,7 +606,7 @@ object StreamOps {
     try {
       StreamRunner.runForeachFiles(s,
           Seq(delta.filter(col("seq") === 1),
-            delta.filter(col("seq") === 2))) { (batch, _) =>
+            delta.filter(col("seq") === 2))) { (batch, _) => MaintTimer.timed {
         val d = batch.localCheckpoint(true)
         val touched = d.select(bucketOf.as("bucket")).distinct()
           .collect().map(_.getInt(0)) // bounded: <= UpsertBuckets ids
@@ -612,7 +635,7 @@ object StreamOps {
         val merged = Roundtrip.applyCdc(cur.drop("bucket"), d)
           .withColumn("bucket", bucketOf).localCheckpoint(true)
         merged.write.mode("overwrite").partitionBy("bucket").parquet(tbl)
-      }
+      } }
     } finally prev match {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -797,7 +820,7 @@ object StreamOps {
     * form). */
   val StreamQSketchK = graft.operators.Relational.QSketchK
 
-  final case class QskEvent(etype: String, hv: Long, v: Long)
+  final case class QskEvent(etype: String, hv: Long, v: Long, c: Long)
   final case class QskState(hv: Array[Long], v: Array[Long], c: Array[Long])
   final case class QskEmit(event_type: String, v: Long, c: Long)
 
@@ -817,25 +840,42 @@ object StreamOps {
     * rank walk, so the streaming op carries a full hash gate. Values
     * ride a 1e-4 grid (`round(value*10000)`) so both engines hash and
     * order identical longs; the one division `/10000.0` happens outside
-    * the state function. Per-group sentinel triggers the single final
-    * sample emission (g2's close-out discipline); the quantile
-    * selection over the ≤K emitted rows is q59's column algebra.
+    * the state function.
+    *
+    * Scale shape (round-10 verdict item 1): each staged micro-batch is
+    * MAP-SIDE COMBINED before it ever reaches the typed state path —
+    * the feeder carries `(etype, hv, v, c)` count DELTAS (one groupBy
+    * per batch), not raw events, so the per-row object churn through
+    * `flatMapGroupsWithState` is bounded by the batch's distinct grid
+    * values rather than its row count, and the md5 grid hash is
+    * computed once per distinct value. Folding deltas commutes with the
+    * K-min-by-hash selection (membership depends only on `hv`, which is
+    * value-determined), so the streamed result is bit-identical to the
+    * unaggregated feed. The per-group close-out sentinel rides IN the
+    * final data batch (state is fully folded before emission, so
+    * in-batch order is irrelevant) — two micro-batches total, not
+    * three. The quantile selection over the ≤K emitted rows is q59's
+    * column algebra.
     */
   def g18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = StreamQSketchK
     val grid = expr("CAST(round(value * 10000) AS BIGINT)")
-    val ev = Tables.events(s, dir).filter($"value".isNotNull)
-      .select($"event_type".as("etype"),
-        conv(substring(md5(concat(lit("g18"), grid.cast("string"))), 1, 8),
+    // one shuffle of the events scan, materialized once so the two
+    // feeder writes and the sentinel domain don't re-run the groupBy
+    val agg = Tables.events(s, dir).filter($"value".isNotNull)
+      .groupBy($"event_type".as("etype"), grid.as("v")).count()
+      .select($"etype",
+        conv(substring(md5(concat(lit("g18"), $"v".cast("string"))), 1, 8),
           16, 10).cast("long").as("hv"),
-        grid.as("v"))
-    val sentinels = ev.select($"etype").distinct()
-      .select($"etype", lit(-1L).as("hv"), lit(0L).as("v"))
+        $"v", $"count".as("c"))
+      .localCheckpoint()
+    val sentinels = agg.select($"etype").distinct()
+      .select($"etype", lit(-1L).as("hv"), lit(0L).as("v"), lit(0L).as("c"))
     val ordKey = (hv: Long, v: Long) => (hv, v)
     val emitted = StreamRunner.runFiles(s,
-        Seq(ev.filter($"v" % 2 === 0), ev.filter($"v" % 2 =!= 0),
-          sentinels)) { df =>
+        Seq(agg.filter($"v" % 2 === 0),
+          agg.filter($"v" % 2 =!= 0).unionByName(sentinels))) { df =>
       df.as[QskEvent].groupByKey(_.etype)
         .flatMapGroupsWithState[QskState, QskEmit](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (etype, it, gs) =>
@@ -852,10 +892,10 @@ object StreamOps {
             if (e.hv < 0) fin = true
             else {
               val key = ordKey(e.hv, e.v)
-              if (m.containsKey(key)) { m.put(key, m.get(key) + 1L); () }
-              else if (m.size < k) { m.put(key, 1L); () }
+              if (m.containsKey(key)) { m.put(key, m.get(key) + e.c); () }
+              else if (m.size < k) { m.put(key, e.c); () }
               else if (ord.compare(key, m.lastKey()) < 0) {
-                m.put(key, 1L); m.remove(m.lastKey()); ()
+                m.put(key, e.c); m.remove(m.lastKey()); ()
               }
             }
           }
