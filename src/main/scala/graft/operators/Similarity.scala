@@ -246,20 +246,25 @@ object Similarity {
       .localCheckpoint(true)
     val k = numCentroids(e.count())
     // seed: the k lowest vec_ids by RANK (sort-limit, so exactly k seeds
-    // even if vec_ids are sparse — `vec_id < k` would silently under-seed)
-    var centroids: Array[Array[Double]] = e
-      .orderBy($"vec_id").limit(k).collect()
-      .map(_.getSeq[Double](1).toArray)
+    // even if vec_ids are sparse — `vec_id < k` would silently under-seed).
+    // The codebook stays a DISTRIBUTED k-row DataFrame through the Lloyd
+    // loop (round-10 verdict item 7): per-iteration means never collect —
+    // the only data-dependent driver transfer in the whole build is the
+    // single final-codebook collect below, bounded at k×Dim ~ √N·64
+    // doubles (the probe-selection input, which is driver math by design).
+    var cdf: DataFrame = e.orderBy($"vec_id").limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"vec_id")).cast("int").minus(1).as("cid"),
+        $"emb".as("c_emb"))
+      .localCheckpoint(true)
 
     // argmin over the codebook via broadcast cross-join + min(struct):
     // ties break to the lowest cid, deterministically
-    def assign(cents: Array[Array[Double]]): DataFrame = {
-      val cdf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-        .toDF("cid", "c_emb")
+    def assign(codebook: DataFrame): DataFrame = {
       val dist2 = aggregate(
         zip_with($"emb", $"c_emb", (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-      e.crossJoin(broadcast(cdf))
+      e.crossJoin(broadcast(codebook))
         .withColumn("d2", dist2)
         .groupBy($"vec_id")
         .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
@@ -268,22 +273,30 @@ object Similarity {
 
     // Lloyd iterations: assignment + order-independent fixed-point mean
     // per cell/dim (exact integer sum of 1e-6 ticks, then two IEEE
-    // divisions — bit-equal in DuckDB regardless of aggregation order)
+    // divisions — bit-equal in DuckDB regardless of aggregation order).
+    // An EMPTY cell keeps its previous centroid (left join + coalesce),
+    // matching the driver-array semantics the DuckDB replay pins; one
+    // k-row localCheckpoint per iteration keeps the lineage flat instead
+    // of stacking assignments.
     for (_ <- 0 until LloydIters) {
-      val means = assign(centroids)
+      val means = assign(cdf)
         .select($"cid", posexplode($"emb").as(Seq("dim", "x")))
         .groupBy($"cid", $"dim")
         .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
           .as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("cid"))(r.getAs[Int]("dim")) = r.getAs[Double]("m")
-      }
-      centroids = next
+      cdf = cdf
+        .select($"cid", posexplode($"c_emb").as(Seq("dim", "x0")))
+        .join(means, Seq("cid", "dim"), "left_outer")
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(
+            struct($"dim", coalesce($"m", $"x0").as("x")))),
+          p => p.getField("x")).as("c_emb"))
+        .localCheckpoint(true)
     }
 
-    (e, centroids, assign(centroids).localCheckpoint(true))
+    val centroids: Array[Array[Double]] = cdf.orderBy($"cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+    (e, centroids, assign(cdf).localCheckpoint(true))
   }
 
   /** The exact-scored candidate set behind [[s3]] (pre-top-k) — exposed
