@@ -224,24 +224,60 @@ object Dedup {
   }
 
   /** MIH candidate generation + exact-Hamming verify over a precomputed
-    * (doc_id, h1..h4) signature table. The distinct runs AFTER the
-    * Hamming filter — bit_count on duplicate candidate rows is per-row map
-    * work, while a pre-filter distinct would shuffle the (much larger) raw
-    * candidate multiset; post-filter only verified pairs reach the
-    * exchange.
+    * (doc_id, h1..h4) signature table.
+    *
+    * Shape (round-11): ONE hash exchange of the probe multiset on its
+    * (block, probe) bucket key, a Tungsten sort within partitions, and a
+    * single streaming InternalRow pass that runs the pair loop over each
+    * bucket's rows in primitive long arrays
+    * ([[graft.functions.HammingPairs.bucketPairs]]). Measured at sf10
+    * (500k docs): the old probe self-join's raw candidate output was
+    * 1.13e9 rows (avg bucket occupancy ~29 over 2.36M buckets, max 188)
+    * of which 25,307 pairs verify — it spent its time constructing wide
+    * joined rows the Hamming filter immediately dropped, and shuffled
+    * the 67.5M-row probe multiset TWICE (both self-join sides). Two
+    * rejected alternatives, both measured: groupBy+collect_list+native
+    * pair expression (collect_list devolves to sort-based aggregation
+    * with per-group array building — 2x worse than the join) and a
+    * typed Dataset[Tuple7] mapPartitions (7 boxed longs per probe row =
+    * ~470M allocations). This plan does the same 1.1e9 XOR+popcount
+    * probes at a few ns each with zero allocation for rejected pairs;
+    * only VERIFIED pairs (x per-bucket multiplicity — tens of k rows)
+    * reach the final distinct.
     */
   def simhashPairs(sigs: DataFrame, radius: Int): DataFrame = {
-    import sigs.sparkSession.implicits._
-    val hamming = (1 to SimHash.Halves)
-      .map(i => expr(s"bit_count(a_h$i ^ b_h$i)")).reduce(_ + _).cast("long")
-    // sigs are eagerly materialized once: the two self-join sides are NOT
-    // deduped by ReuseExchange (their canonicalized plans differ by a
-    // projection), so an un-checkpointed plan would run the whole
-    // shingle->md5->agg pipeline twice
-    mihCandidatesRaw(sigs.localCheckpoint(true), radius)
-      .withColumn("hamming", hamming)
-      .filter($"hamming" <= radius)
-      .select($"a_id", $"b_id", $"hamming")
+    val s = sigs.sparkSession
+    import s.implicits._
+    val blocks = SimHash.mihBlocks(radius)
+    val blkCols = blocks.zipWithIndex.map { case ((lo, w), i) =>
+      struct(lit(i).as("bi"),
+        SimHash.blockVal(h => col(s"h${h + 1}"), lo, w).as("bv"))
+    }
+    val masks = blocks.zipWithIndex.flatMap { case ((_, w), i) =>
+      SimHash.symProbeMasks(w).map(m => (i, m))
+    }
+    // sigs are eagerly materialized once so the shingle->md5->agg
+    // pipeline runs once, not per downstream stage
+    val probes = sigs.localCheckpoint(true)
+      .select($"doc_id", $"h1", $"h2", $"h3", $"h4",
+        explode(array(blkCols: _*)).as("blk"))
+      .join(broadcast(masks.toDF("bi", "mask")), $"blk.bi" === $"bi")
+      .select($"bi", $"blk.bv".bitwiseXOR($"mask").as("probe"),
+        $"doc_id", $"h1", $"h2", $"h3", $"h4")
+    val sorted = probes
+      .repartition($"bi", $"probe")
+      .sortWithinPartitions($"bi", $"probe")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val pairs = org.apache.spark.sql.graft.bridge.internalRdd(sorted)
+      .mapPartitions(graft.functions.HammingPairs.bucketPairs(_, radius))
+    org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(s, pairs, schema)
       .distinct()
   }
 

@@ -16,4 +16,24 @@ object bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The executed plan's InternalRow RDD — for per-partition kernels that
+    * must read primitive columns WITHOUT the typed encoder's per-row
+    * boxing (a Dataset[TupleN] decode allocates N boxes per row; at d4's
+    * 67.5M probe rows that is the dominant cost). Rows are reused
+    * UnsafeRows: callers must copy the fields they keep.
+    */
+  def internalRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD back into a DataFrame (the inverse of
+    * [[internalRdd]] for kernel outputs).
+    */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
