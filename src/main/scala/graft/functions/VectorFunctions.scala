@@ -22,10 +22,14 @@ object Vec {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Native-Expression fast path (identical IEEE op order — the hash gate
-    * proves interchangeability); prefer this in hot loops.
+  /** Native-Expression fast paths (identical IEEE op order — the hash
+    * gate proves interchangeability); prefer these in hot loops: the
+    * portable higher-order forms above have no codegen and interpret a
+    * lambda per element.
     */
   def cosineFast(a: Column, b: Column): Column = CosineSimilarity(a, b)
+  def dotFast(a: Column, b: Column): Column = DotProduct(a, b)
+  def l2sqFast(a: Column, b: Column): Column = L2Squared(a, b)
 }
 
 /** DuckDB twins of [[Vec]] (dim is the fixed embedding width). */

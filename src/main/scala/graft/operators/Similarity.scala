@@ -37,23 +37,45 @@ object Similarity {
 
   /** Multi-probe budget from plane count (query-directed multi-probe, Lv
     * et al., VLDB'07): Hamming radius 3 through 10 planes — the ring that
-    * measures recall 0.96 at sf0.1 — radius 4 above, and the flips are
-    * restricted to the query's [[MaxWeakBits]] LOWEST-|dot| planes. A
-    * true neighbor disagrees exactly on the low-margin bits, so flipping
-    * those first buys the most recall per probe, and the budget is
-    * bounded (C(14, <=4) = 1,471 masks per table through 14 planes;
-    * C(14, <=5) = 3,473 above) NO MATTER how many planes the corpus
-    * needs — bounded in N, where naive Hamming-r probing grows
-    * C(p, r) ~ p^r. Probes stay on the bounded query side only. The
-    * radius-5 tier is the second-decade escalation: at p = 16 planes
-    * (200k vectors) the radius-4 ring measured recall 0.70 — true
-    * neighbors past 4 weak-bit flips — and radius 5 buys the deeper
-    * ring at 2.4x the (still bounded) probe cost.
+    * measures recall 0.96 at sf0.1 — radius 4 through 14 planes, and the
+    * flips are restricted to the query's [[MaxWeakBits]] LOWEST-|dot|
+    * planes. A true neighbor disagrees exactly on the low-margin bits, so
+    * flipping those first buys the most recall per probe, and the budget
+    * is bounded (C(14, <=4) = 1,471 masks per table through 14 planes;
+    * [[RankedProbeBudget]] = 6,885 above) NO MATTER how many planes the
+    * corpus needs — bounded in N, where naive Hamming-r probing grows
+    * C(p, r) ~ p^r. Probes stay on the bounded query side only.
+    *
+    * Above 14 planes the probe set is the Lv-et-al PROBING SEQUENCE
+    * proper: every <=[[poolRadius]]-flip subset of the weak bits is
+    * scored by the summed |dot| margin of its flipped planes (the
+    * cheapest perturbations first) and only the [[RankedProbeBudget]]
+    * best-ranked masks per table are probed. Measured at sf10 (200k
+    * vectors, p = 16, S2TierProbe, ground truth s1): the round-10
+    * full-enumeration tier (wb 14, r 5, all 3,473 masks) recalls 0.84;
+    * the same 6,885-mask budget spent on the TOP-ranked masks of the
+    * deeper r<=6 / wb=16 pool recalls 1.00 — vs 0.92 for full
+    * enumeration of the r<=5 pool at the identical budget, i.e. ranking
+    * beats ring-exhaustion at equal cost. Budget halves (3,473 ranked:
+    * 0.86; 1,732: 0.78) sit below the 0.9 bar, so 6,885 is the tier
+    * point. Candidates stay probe-bounded (~4 bucket occupants x 4
+    * tables x T masks, INDEPENDENT of N — a shrinking corpus fraction
+    * as N grows).
     */
-  val MaxWeakBits = 14
-  def probeRadius(p: Int): Int =
-    if (p <= 10) 3 else if (p <= 14) 4 else 5
+  val MaxWeakBits = 16
+  val RankedProbeBudget = 6885
+  def poolRadius(p: Int): Int =
+    if (p <= 10) 3 else if (p <= 14) 4 else 6
   def weakBits(p: Int): Int = math.min(p, MaxWeakBits)
+
+  /** Probe masks actually spent per table: the full subset pool through
+    * 14 planes (ranking a pool we would exhaust anyway is a no-op), the
+    * ranked top-[[RankedProbeBudget]] of the deeper pool above.
+    */
+  def probeBudget(p: Int): Int = {
+    val pool = probeSubsets(weakBits(p), poolRadius(p)).size
+    if (p <= 14) pool else math.min(pool, RankedProbeBudget)
+  }
 
   /** All flip masks as position subsets into the weak-bit list: every
     * subset of {0..w-1} of size <= r (the empty subset = the exact
@@ -128,13 +150,15 @@ object Similarity {
 
   /** In-order plane dot product — the ONE float expression both the
     * bucket sign test and the weak-bit ranking derive from (and the
-    * DuckDB oracle's `list_sum` mirrors term-for-term).
+    * DuckDB oracle's `list_sum` mirrors term-for-term). The native
+    * [[Vec.dotFast]] kernel keeps the identical ascending
+    * multiply-accumulate order; the portable `aggregate(zip_with(...))`
+    * form it replaced has no codegen, and bucketCol evaluates this
+    * N x planes x tables times over the corpus (12.8M interpreted
+    * 64-element folds at sf10).
     */
-  private def dotCol(emb: Column, wgt: Array[Double]): Column = {
-    val lits = array(wgt.map(lit): _*)
-    aggregate(zip_with(emb, lits, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-  }
+  private def dotCol(emb: Column, wgt: Array[Double]): Column =
+    Vec.dotFast(emb, array(wgt.map(lit): _*))
 
   /** Sign-bit bucket id for one embedding column (table 0 is shared with
     * Dedup.d5's candidate gating).
@@ -145,16 +169,17 @@ object Similarity {
     }.reduce(_ + _)
 
   /** s2: random-hyperplane LSH ANN — [[NumTables]] independent hash
-    * tables, query-directed multi-probe per table ([[probeRadius]] bit
-    * flips restricted to the query's [[weakBits]] lowest-|dot| planes),
+    * tables, query-directed multi-probe per table (<=[[poolRadius]] bit
+    * flips restricted to the query's [[weakBits]] lowest-|dot| planes,
+    * the best [[probeBudget]] masks by flipped-margin rank),
     * candidates unioned, then exact cosine top-k within them. The bucket
     * id is the join key and the plane count grows with the corpus
     * ([[numPlanes]]), so bucket occupancy stays ~flat instead of a fixed
     * 64-bucket space that degenerates to N/3 per query — and because the
-    * flips come from a FIXED-width weak-bit list, the probe budget is
-    * bounded (<= C(14,<=4) = 1,471 masks/table through 14 planes,
-    * <= C(14,<=5) = 3,473 at the radius-5 tier above) no matter how
-    * large p grows.
+    * flips come from a FIXED-width weak-bit list under a fixed budget,
+    * the probe cost is bounded (<= C(14,<=4) = 1,471 masks/table through
+    * 14 planes, [[RankedProbeBudget]] = 6,885 ranked masks above) no
+    * matter how large p grows.
     * The probe explosion is on the BOUNDED query side only (the corpus
     * side emits exactly one bucket per table), so probing costs probe-set
     * size, never a corpus blowup. All four tables' buckets are computed
@@ -170,8 +195,9 @@ object Similarity {
     import s.implicits._
     val e0 = Tables.embeddings(s, dir)
     val p = numPlanes(e0.count())
-    val r = probeRadius(p)
+    val r = poolRadius(p)
     val wb = weakBits(p)
+    val budget = probeBudget(p)
     val e = e0.select(($"vec_id" +: $"embedding" +: (0 until NumTables).map(t =>
         bucketCol($"embedding", t, p).as(s"b$t"))): _*)
       .localCheckpoint(true)
@@ -185,20 +211,28 @@ object Similarity {
       // per-plane |dot| ranking on the BOUNDED query side only: the wb
       // lowest-margin planes are this query's flip candidates
       val dots = array(planeTable(t, p).map(w => dotCol($"q_emb", w)): _*)
-      val weak = transform(
-        slice(array_sort(transform(sequence(lit(0), lit(p - 1)),
-          i => struct(abs(element_at(dots, i + 1)).as("a"), i.as("i")))),
-          1, wb),
-        x => x.getField("i"))
+      val weak = slice(array_sort(transform(sequence(lit(0), lit(p - 1)),
+        i => struct(abs(element_at(dots, i + 1)).as("a"), i.as("i")))),
+        1, wb)
+      // per-subset (quality = summed flipped |dot| in ascending weak-rank
+      // order, xor mask); array_sort ranks by (quality, mask) so the
+      // top-[[probeBudget]] slice IS the Lv-et-al probing sequence. For
+      // p <= 14 the budget equals the pool, the slice is the whole pool,
+      // and the probe SET is identical to plain subset enumeration.
+      val qm = transform(subsets, sub => struct(
+        aggregate(sub, lit(0.0), (acc, pos) =>
+          acc + element_at($"wk", pos + lit(1)).getField("a")).as("qual"),
+        aggregate(sub, lit(0), (acc, pos) => acc +
+          element_at(pow2,
+            element_at($"wk", pos + lit(1)).getField("i") + lit(1)))
+          .as("mask")))
       val q = e.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
           col(s"b$t").as("qb"))
         .select($"query_id", $"q_emb", $"qb", weak.as("wk"))
         .select($"query_id", $"q_emb",
-          explode(transform(subsets, sub => $"qb".bitwiseXOR(
-            aggregate(sub, lit(0), (acc, pos) => acc +
-              element_at(pow2, element_at($"wk", pos + lit(1)) + lit(1))))))
-            .as("probe"))
+          explode(transform(slice(array_sort(qm), 1, budget),
+            x => $"qb".bitwiseXOR(x.getField("mask")))).as("probe"))
       val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
         col(s"b$t").as("n_bucket"))
       c.join(broadcast(q),
@@ -258,18 +292,35 @@ object Similarity {
         $"emb".as("c_emb"))
       .localCheckpoint(true)
 
-    // argmin over the codebook via broadcast cross-join + min(struct):
-    // ties break to the lowest cid, deterministically
-    def assign(codebook: DataFrame): DataFrame = {
-      val dist2 = aggregate(
-        zip_with($"emb", $"c_emb", (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-      e.crossJoin(broadcast(codebook))
-        .withColumn("d2", dist2)
-        .groupBy($"vec_id")
-        .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"),
-          first($"emb").as("emb"))
+    // argmin over the codebook: broadcast cross-join scoring with the
+    // NATIVE L2 kernel, then a TWO-PASS hash-aggregable min — min(d2)
+    // per vector, then min(cid) among exact-bits ties — instead of one
+    // min(struct(d2, cid)) + first(emb). The struct/array buffers of the
+    // one-pass form are not HashAggregateExec-mutable, so Spark planned
+    // a SortAggregate that SORTED the N x k scored rows carrying the
+    // full 64-double emb payload (46 GB spilled at sf10), with the
+    // zip_with/aggregate distance interpreted inside the sort projection
+    // (no codegen for higher-order funcs) — measured >6 min per Lloyd
+    // pass at 200k x 448. Both passes here are partial+final
+    // HashAggregates over skinny (vec_id, cid, d2) rows; scoring runs
+    // twice but codegen'd it is the cheap part, and the tie-break
+    // semantics (lowest cid at the bitwise-equal minimum d2 — d2 is the
+    // same deterministic expression both times) are unchanged, so the
+    // DuckDB replay is untouched.
+    def assignCids(codebook: DataFrame): DataFrame = {
+      val best = e.crossJoin(broadcast(codebook))
+        .select($"vec_id", Vec.l2sqFast($"emb", $"c_emb").as("d2"))
+        .groupBy($"vec_id").agg(min($"d2").as("bd2"))
+      // pass 2 re-scores with bd2 already ON the corpus row (an N-row
+      // co-partitioned join, never an O(N) broadcast), so the N x k
+      // scored relation exists only as a streamed filter input
+      e.join(best, "vec_id")
+        .crossJoin(broadcast(codebook))
+        .filter(Vec.l2sqFast($"emb", $"c_emb") === $"bd2")
+        .groupBy($"vec_id").agg(min($"cid").as("cid"))
     }
+    def assign(codebook: DataFrame): DataFrame =
+      assignCids(codebook).join(e, "vec_id").select($"vec_id", $"cid", $"emb")
 
     // Lloyd iterations: assignment + order-independent fixed-point mean
     // per cell/dim (exact integer sum of 1e-6 ticks, then two IEEE
@@ -366,51 +417,74 @@ object Similarity {
         WHERE planes$t.p < np.np) p
       GROUP BY e.vec_id)"""
     }.mkString(",\n    ")
-    val bktJoin = (0 until NumTables)
-      .map(t => s"JOIN bkt$t v$t ON v$t.vec_id = e.vec_id")
-      .mkString(" ")
-    // per-query weak-bit mask per table: the LEAST(np, MaxWeakBits)
-    // planes with the smallest (|dot|, plane-id) — same ranking the
-    // Spark side sorts by, as one window + sum(1<<p)
-    val wmCtes = (0 until NumTables).map { t =>
-      s"""wm$t AS (
-      SELECT vec_id, CAST(sum(CASE WHEN rnk <= (SELECT LEAST(np, $MaxWeakBits)
-          FROM np) THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS wm
-      FROM (SELECT e.vec_id, p.p,
+    // per-query RANKED weak-bit list per table: the LEAST(np, MaxWeakBits)
+    // planes with the smallest (|dot|, plane-id) — same ranking the Spark
+    // side slices its weak array by
+    val wrCtes = (0 until NumTables).map { t =>
+      s"""wr$t AS (
+      SELECT vec_id, p, a, rnk FROM (
+        SELECT e.vec_id, p.p, abs($dot) AS a,
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY abs($dot), p.p) AS rnk
         FROM embeddings e CROSS JOIN (SELECT planes$t.* FROM planes$t, np
           WHERE planes$t.p < np.np) p
         WHERE e.vec_id < $NumQueries)
-      GROUP BY vec_id)"""
+      WHERE rnk <= (SELECT LEAST(np, $MaxWeakBits) FROM np))"""
     }.mkString(",\n    ")
     val radius =
-      "(SELECT CASE WHEN np <= 10 THEN 3 WHEN np <= 14 THEN 4 ELSE 5 END FROM np)"
-    val notWeak = s"(SELECT (1::BIGINT << np) - 1 FROM np)"
-    val anyTable = (0 until NumTables)
-      .map(t => s"""(bit_count(xor(q.b$t, c.b$t)) <= $radius
-        AND (xor(q.b$t, c.b$t) & ($notWeak - wm$t.wm)) = 0)""")
-      .mkString(" OR ")
-    val wmJoin = (0 until NumTables)
-      .map(t => s"JOIN wm$t ON wm$t.vec_id = q.vec_id")
-      .mkString(" ")
+      "(SELECT CASE WHEN np <= 10 THEN 3 WHEN np <= 14 THEN 4 ELSE 6 END FROM np)"
+    val budget =
+      s"(SELECT CASE WHEN np <= 14 THEN 1000000 ELSE $RankedProbeBudget END FROM np)"
+    // the probe pool as a recursive subset walk over the ranked weak
+    // list (each subset built once, in ASCENDING-rank order, so `qual`
+    // accumulates the flipped |dot|s in exactly the order Spark's
+    // aggregate() folds them — float-sum order is part of the contract);
+    // topm keeps the (qual, mask)-ranked top-`budget` masks = the
+    // Lv-et-al probing sequence the Spark side slices
+    val mkCtes = (0 until NumTables).map { t =>
+      s"""mk$t AS (
+      SELECT vec_id, 0::BIGINT AS mask, 0.0::DOUBLE AS qual,
+        0 AS lastrnk, 0 AS sz
+      FROM (SELECT DISTINCT vec_id FROM wr$t)
+      UNION ALL
+      SELECT m.vec_id, m.mask | (1::BIGINT << w.p), m.qual + w.a,
+        w.rnk, m.sz + 1
+      FROM mk$t m JOIN wr$t w ON w.vec_id = m.vec_id AND w.rnk > m.lastrnk
+      WHERE m.sz < $radius),
+    topm$t AS (
+      SELECT vec_id, mask FROM (
+        SELECT vec_id, mask, row_number() OVER (PARTITION BY vec_id
+          ORDER BY qual, mask) AS rn
+        FROM mk$t)
+      WHERE rn <= $budget)"""
+    }.mkString(",\n    ")
+    // UNION ALL inside a subquery + explicit DISTINCT: a bare multi-arm
+    // UNION as a CTE body is mis-parsed under WITH RECURSIVE by DuckDB
+    // 1.0 (the last arm becomes a "recursive term" and dedup is skipped
+    // across it), so the dedup must not rely on the set operator
+    val candUnion = (0 until NumTables).map { t =>
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM topm$t m JOIN bkt$t q ON q.vec_id = m.vec_id
+        JOIN bkt$t c ON c.b::BIGINT = xor(q.b::BIGINT, m.mask)
+          AND c.vec_id <> m.vec_id"""
+    }.mkString("\n      UNION ALL\n      ")
     s"""
-    WITH np AS (
+    WITH RECURSIVE np AS (
       SELECT CASE $caseArms ELSE $MaxPlanes END AS np
       FROM (SELECT count(*) AS c FROM embeddings)),
     $planeCtes,
     $bktCtes,
-    $wmCtes,
-    v AS (
-      SELECT e.vec_id, e.embedding,
-        ${(0 until NumTables).map(t => s"v$t.b AS b$t").mkString(", ")}
-      FROM embeddings e $bktJoin),
+    $wrCtes,
+    $mkCtes,
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id FROM (
+      $candUnion) allc),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        round(${VecSql.cosine("q.embedding", "c.embedding", 64)}, 6) AS cos
-      FROM v q $wmJoin
-        JOIN v c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
-        AND ($anyTable))"""
+      SELECT x.query_id, x.neighbor_id,
+        round(${VecSql.cosine("qe.embedding", "ce.embedding", 64)}, 6) AS cos
+      FROM cand x
+        JOIN embeddings qe ON qe.vec_id = x.query_id
+        JOIN embeddings ce ON ce.vec_id = x.neighbor_id)"""
   }
 
   val s2Sql: String = s"""$s2ScoredSql,
