@@ -243,6 +243,22 @@ object Bench {
     }.min
     val s6got = pairs(operators.Similarity.s6Query(spark, pqE, pqCodes, pqCents))
     val s6recall = (truth & s6got).size.toDouble / truth.size
+    // s8 (IVF-PQ) under the same build/serve split: the coarse+residual
+    // training and code table are one-time build artifacts; the serve
+    // side pays nprobe cells of the code table + per-cell LUTs + re-rank
+    val tB8 = System.nanoTime()
+    val (ipE, ipCoarse, ipCodes, ipCents) =
+      operators.Similarity.s8Index(spark, sfDir)
+    val s8BuildSec = (System.nanoTime() - tB8) / 1e9
+    val s8QuerySec = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      operators.Similarity.s8Query(spark, ipE, ipCoarse, ipCodes, ipCents)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val s8got = pairs(
+      operators.Similarity.s8Query(spark, ipE, ipCoarse, ipCodes, ipCents))
+    val s8recall = (truth & s8got).size.toDouble / truth.size
     // the PQ corpus/subvector checkpoints are dead past this point — drop
     // them so the scale probes below don't pay their memory pressure
     // (measured: d5's candidate-join probe ran 4× slower with them live)
@@ -260,6 +276,8 @@ object Bench {
         operators.Similarity.rerankDepth(
           sources.Tables.embeddings(spark, sfDir).count())},""" +
       f""""s6_build_s":$s6BuildSec%.3f,"s6_query_s":$s6QuerySec%.3f,""" +
+      f""""s8_recall":$s8recall%.3f,""" +
+      f""""s8_build_s":$s8BuildSec%.3f,"s8_query_s":$s8QuerySec%.3f,""" +
       f""""g11_encode_s":$g11EncodeSec%.3f}"""
     // scale probes: candidate-generation selectivity AND wall-time on
     // synthetic corpora big enough that a quadratic shape would show

@@ -671,17 +671,28 @@ object Dedup {
   def d9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val sh = docs.withColumn("toks", Text.tokens($"text"))
-      .select($"doc_id", array_distinct(Text.shingles($"toks")).as("shingles"))
-      .localCheckpoint(false)
     // lazy for the same reason as d8's checkpoint: constructing the plan
     // must not run the tokenize→minhash→band scan
     val bands = bandRowsOf(docs).localCheckpoint(false)
     val corpus = bands.filter($"doc_id" < IncrSplit).toDF("a_id", "bi", "bh")
     val fresh = bands.filter($"doc_id" >= IncrSplit).toDF("b_id", "bi2", "bh2")
+    // eager: cand feeds the verify join AND the id restriction below —
+    // without the checkpoint the band join would run three times
     val cand = corpus.join(fresh,
         $"bi" === $"bi2" && $"bh" === $"bh2")
-      .select($"a_id", $"b_id").distinct()
+      .select($"a_id", $"b_id").distinct().localCheckpoint(true)
+    // shingle sets ONLY for docs that appear in a candidate pair: the
+    // exact-jaccard verify needs |candidate-ids| shingle arrays, not a
+    // second full tokenize+shingle pass over the corpus (G10Anatomy at
+    // sf10: the full-batch shingle-set build cost 9.9 s against 23
+    // actual candidates — the restricted build is the per-batch ~
+    // |batch|-independent verify cost the scaladoc promises)
+    val needed = cand.select($"a_id".as("doc_id"))
+      .union(cand.select($"b_id".as("doc_id"))).distinct()
+    val sh = docs.join(graft.plans.Hints.maybeBroadcast(needed), "doc_id")
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", array_distinct(Text.shingles($"toks")).as("shingles"))
+      .localCheckpoint(false)
     val scored = cand
       .join(sh.toDF("a_id", "a_sh"), "a_id")
       .join(sh.toDF("b_id", "b_sh"), "b_id")

@@ -61,6 +61,20 @@ object Similarity {
     * point. Candidates stay probe-bounded (~4 bucket occupants x 4
     * tables x T masks, INDEPENDENT of N — a shrinking corpus fraction
     * as N grows).
+    *
+    * DEEPER plane counts were swept and rejected (round 11, S2TierProbe
+    * at sf10, same budget): p=18 recalls 0.76 (r<=6) / 0.84 (r<=8) /
+    * 0.94 only at a DOUBLED 13,770-mask budget; p=20 collapses to
+    * 0.58-0.62 at 4% candidates — true neighbors disagree on more bits
+    * than any bounded flip budget reaches once buckets get that fine.
+    * So [[numPlanes]]' ~4-occupant rule is the evidence-backed knee for
+    * this hyperplane family: recall 1.00 costs ~39% of the corpus as
+    * exactly-scored candidates at 200k vectors. A sub-5% candidate scan
+    * at >=0.9 recall is NOT reachable by hyperplane LSH here — that
+    * operating point belongs to the partition-based indexes ([[s3]] IVF:
+    * 0.98 recall at 4.9% candidates; [[s8]] IVF-PQ: same pruning over
+    * 42x-smaller codes), which is why the library ships the ladder
+    * rather than one index.
     */
   val MaxWeakBits = 16
   val RankedProbeBudget = 6885
@@ -1058,9 +1072,21 @@ object Similarity {
     * BIGINT ADC scan and the tie-broken re-rank bit-for-bit.
     */
   def s8(s: SparkSession, dir: String): DataFrame = {
+    val (e, coarse, codes, cents) = s8Index(s, dir)
+    s8Query(s, e, coarse, codes, cents)
+  }
+
+  /** [[s8]]'s one-time build half (the bench times it apart from the
+    * per-query-batch serve cost, the s6_build/s6_query discipline):
+    * coarse IVF training, residuals, residual-PQ codebooks, and the
+    * stored (vec_id, cell, m, cid) code table. Returns (corpus, coarse
+    * codebook, code table, PQ codebooks).
+    */
+  def s8Index(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Double]], DataFrame,
+         Array[Array[Array[Double]]]) = {
     import s.implicits._
     val (e, coarse, assigned) = ivfTrain(s, dir)
-    val k = coarse.length
     // residuals: one broadcast join against the k×64-double codebook
     val cdf = coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "c_emb")
@@ -1076,6 +1102,14 @@ object Similarity {
       .select($"vec_id", $"cell",
         posexplode(pqEncode(cents, $"emb")).as(Seq("m", "cid")))
       .localCheckpoint(true)
+    (e, coarse, codes, cents)
+  }
+
+  /** [[s8]]'s per-query-batch serve half against a built index. */
+  def s8Query(s: SparkSession, e: DataFrame, coarse: Array[Array[Double]],
+      codes: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    val k = coarse.length
     // bounded driver work: query set, probe cells, per-(query, cell) LUTs
     val queries = e.filter($"vec_id" < NumQueries)
       .select($"vec_id", $"emb").collect()

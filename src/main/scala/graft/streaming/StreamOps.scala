@@ -383,9 +383,16 @@ object StreamOps {
         Seq(fresh.filter($"doc_id" % 2 === 0),
           fresh.filter($"doc_id" % 2 === 1))) { (batch, _) => MaintTimer.timed {
       val bb = Dedup.bandRowsOf(batch).toDF("b_id", "bi", "bh")
+      // eager: cand feeds the verify join AND the id restriction below
       val cand = corpusBands.join(bb, Seq("bi", "bh"))
-        .select(col("a_id"), col("b_id")).distinct()
-      val bsh = batch.withColumn("toks", Text.tokens(col("text")))
+        .select(col("a_id"), col("b_id")).distinct().localCheckpoint(true)
+      // shingle sets ONLY for batch docs that banded into a candidate
+      // pair (d9's discipline): the verify pays |candidates|, never a
+      // second full tokenize+shingle pass over the batch — G10Anatomy at
+      // sf10 measured that second pass at 9.9 s for 23 candidates
+      val candIds = cand.select(col("b_id").as("doc_id")).distinct()
+      val bsh = batch.join(graft.plans.Hints.maybeBroadcast(candIds), "doc_id")
+        .withColumn("toks", Text.tokens(col("text")))
         .select(col("doc_id").as("b_id"),
           array_distinct(Text.shingles(col("toks"))).as("b_sh"))
       val scored = cand.join(corpusSh, "a_id").join(bsh, "b_id")

@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   * idea — instead of exhausting every subset of size <= r). Ground
   * truth is s1. Reports recall, candidate rows, and wall seconds per
   * config so the production tier rule can be chosen on evidence.
+  *
+  * RECORDED at sf10 (200k vectors, truth pairs 50, T = mask budget/table):
+  *   p=16 wb=16 r=6 T=6885  recall 1.00  cands 39%/query  (the tier)
+  *   p=16 wb=14 r=5 all     recall 0.92  (full enumeration, same budget)
+  *   p=16 wb=16 r=6 T=3473  recall 0.86; T=1732 0.78
+  *   p=18 wb=16 r=6 T=6885  recall 0.76  cands 13.2%
+  *   p=18 wb=18 r=6 T=6885  recall 0.76  cands 13.3%
+  *   p=18 wb=18 r=8 T=6885  recall 0.84  cands 13.2%
+  *   p=18 wb=18 r=8 T=13770 recall 0.94  cands 22.9%
+  *   p=20 wb=16 r=6 T=6885  recall 0.58  cands 4.1%
+  *   p=20 wb=20 r=6 T=6885  recall 0.62  cands 4.2%
+  * Conclusion: finer buckets spread true neighbors across more bits than
+  * any bounded flip budget reaches — the ~4-occupant plane rule with the
+  * ranked 6,885-mask budget is the recall knee; sub-5% candidate scans at
+  * >=0.9 recall belong to s3/s8, not this family.
   */
 object S2TierProbe {
   def main(args: Array[String]): Unit = {
