@@ -133,7 +133,8 @@ object Bench {
       "d14_bloom_prefilter", "g16_stream_quality_gate", "s8_ivfpq_ann",
       "q55_nation_profit", "q56_important_stock", "q57_supplier_cnt",
       "q58_or_chain_revenue", "q23_approx_distinct", "q27_approx_quantile",
-      "g17_stream_kmv_distinct", "q59_quantile_sketch", "g18_stream_quantile")
+      "g17_stream_kmv_distinct", "q59_quantile_sketch", "g18_stream_quantile",
+      "t23_heavy_hitters")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -1008,7 +1008,85 @@ object TextOps {
     SELECT q.doc_id, q.lang, q.quality, lab.bucket
     FROM q JOIN lab USING (lang, quality)"""
 
+  /** Heavy-hitter threshold denominator for [[t23]]: a token is heavy
+    * when its exact corpus count exceeds totalTokens / HhK. Also the
+    * per-partition Misra-Gries capacity (capacity = the threshold
+    * denominator is exactly what candidate completeness needs).
+    */
+  val HhK = 5000
+
+  /** t23: EXACT HEAVY HITTERS over the token stream — the
+    * vocabulary-mining pass a pretraining pipeline runs to pick
+    * stopword/domain-term lists: every token whose exact corpus count
+    * exceeds totalTokens/[[HhK]], with its exact count. Two-pass
+    * candidate-generate-then-recount (the canonical scale form, MG84):
+    *
+    * Pass 1: per-partition MISRA-GRIES summaries of capacity [[HhK]]
+    * (bounded memory, zero shuffle of the token stream) + one tally row
+    * per partition. Completeness is the pigeonhole guarantee: a token
+    * with global count > N/HhK exceeds partN/HhK in at least one
+    * partition, and MG with capacity HhK never fully evicts such a
+    * token there — so the candidate union is a superset of the true
+    * heavy set no matter how rows are partitioned. Only the candidate
+    * ids (≤ HhK × partitions) and the per-partition tallies ever reach
+    * an exchange — at 100 TB with a 100M+ vocabulary this replaces the
+    * full vocab-wide shuffle a plain groupBy pays with an
+    * O(HhK)-per-partition one.
+    *
+    * Pass 2: exact recount restricted to candidates (size-guarded
+    * broadcast semi-reduction; partial+final hash agg), integer-exact
+    * threshold `c * HhK > N`. The recount makes the RESULT independent
+    * of the partition layout pass 1 happened to see (MG candidate SETS
+    * are layout-dependent; the filtered exact counts are not — spec
+    * asserts identity across repartitionings), so the op carries a full
+    * DuckDB hash gate against the plain GROUP BY ... HAVING oracle.
+    */
+  def t23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(explode(Text.tokens($"text")).as("token"))
+    val mg = tok.as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      var total = 0L
+      while (it.hasNext) {
+        val t = it.next(); total += 1
+        val c = m.getOrDefault(t, 0L)
+        if (c > 0L || m.size < HhK) m.put(t, c + 1L)
+        else {
+          // decrement-all: removes HhK counts at a time, so total
+          // decrement work is <= partN — amortized linear
+          val e = m.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue <= 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+      m.keySet().forEach(k => out += ((k, 0L, false)))
+      out += (("", total, true))
+      out.iterator
+    }.toDF("token", "cnt", "is_tally").localCheckpoint(true)
+    // bounded: <= HhK x partitions candidate rows + 1 tally row/partition
+    val nDf = mg.filter($"is_tally").agg(sum($"cnt").as("n"))
+    val cand = mg.filter(!$"is_tally").select($"token").distinct()
+    tok.join(Hints.maybeBroadcast(cand), "token")
+      .groupBy($"token").agg(count(lit(1)).cast("long").as("c"))
+      .crossJoin(broadcast(nDf))
+      .filter($"c" * HhK > $"n")
+      .select($"token", $"c")
+  }
+
+  val t23Sql: String = s"""
+    WITH tok AS (SELECT unnest(${TextSql.toks}) AS token FROM documents),
+    n AS (SELECT count(*) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS c
+    FROM tok CROSS JOIN n
+    GROUP BY token, n.n
+    HAVING count(*) * $HhK > n.n"""
+
   val queries: Map[String, Q] = Map(
+    "t23_heavy_hitters" -> t23,
     "t22_quality_buckets" -> t22,
     "t21_contamination" -> t21,
     "t13_bigram_fluency" -> t13, "t14_quality_gate" -> t14,
@@ -1021,6 +1099,7 @@ object TextOps {
     "t10_repetition" -> t10, "t11_pii_scrub" -> t11, "t12_rare_words" -> t12)
 
   val oracles: Map[String, String] = Map(
+    "t23_heavy_hitters" -> t23Sql,
     "t22_quality_buckets" -> t22Sql,
     "t21_contamination" -> t21Sql,
     "t13_bigram_fluency" -> t13Sql, "t14_quality_gate" -> t14Sql,
