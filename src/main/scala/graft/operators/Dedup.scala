@@ -671,13 +671,17 @@ object Dedup {
   def d9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    // lazy for the same reason as d8's checkpoint: constructing the plan
-    // must not run the tokenize→minhash→band scan
+    // checkpointed so the corpus and fresh halves below share ONE
+    // tokenize→minhash→band scan; it materializes when cand's eager
+    // checkpoint first runs it
     val bands = bandRowsOf(docs).localCheckpoint(false)
     val corpus = bands.filter($"doc_id" < IncrSplit).toDF("a_id", "bi", "bh")
     val fresh = bands.filter($"doc_id" >= IncrSplit).toDF("b_id", "bi2", "bh2")
     // eager: cand feeds the verify join AND the id restriction below —
-    // without the checkpoint the band join would run three times
+    // without the checkpoint the band join would run three times. This
+    // deliberately makes d9() CONSTRUCTION run the band scan + candidate
+    // join (plan building here is not lazy; callers that only want to
+    // explain the verify plan pay the scan once)
     val cand = corpus.join(fresh,
         $"bi" === $"bi2" && $"bh" === $"bh2")
       .select($"a_id", $"b_id").distinct().localCheckpoint(true)

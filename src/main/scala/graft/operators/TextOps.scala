@@ -1041,11 +1041,16 @@ object TextOps {
     * asserts identity across repartitionings), so the op carries a full
     * DuckDB hash gate against the plain GROUP BY ... HAVING oracle.
     */
-  def t23(s: SparkSession, dir: String): DataFrame = {
+  /** [[t23]]'s pass 1, shared with the Round11Spec layout/bound tests so
+    * the specs can never drift from the shipped summarizer: per-partition
+    * capacity-[[HhK]] Misra-Gries candidate rows (cnt=0, is_tally=false)
+    * plus one total-token tally row per partition (is_tally=true).
+    */
+  private[graft] def mgSummaries(
+      tok: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    val s = tok.sparkSession
     import s.implicits._
-    val tok = Tables.documents(s, dir)
-      .select(explode(Text.tokens($"text")).as("token"))
-    val mg = tok.as[String].mapPartitions { it =>
+    tok.mapPartitions { it =>
       val m = new java.util.HashMap[String, Long]()
       var total = 0L
       while (it.hasNext) {
@@ -1066,7 +1071,14 @@ object TextOps {
       m.keySet().forEach(k => out += ((k, 0L, false)))
       out += (("", total, true))
       out.iterator
-    }.toDF("token", "cnt", "is_tally").localCheckpoint(true)
+    }.toDF("token", "cnt", "is_tally")
+  }
+
+  def t23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(explode(Text.tokens($"text")).as("token"))
+    val mg = mgSummaries(tok.as[String]).localCheckpoint(true)
     // bounded: <= HhK x partitions candidate rows + 1 tally row/partition
     val nDf = mg.filter($"is_tally").agg(sum($"cnt").as("n"))
     val cand = mg.filter(!$"is_tally").select($"token").distinct()

@@ -120,7 +120,12 @@ object StreamRunner {
     val name = s"graft_stream_${n.incrementAndGet()}"
     val q = build(src).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
-    try q.processAllAvailable() finally { q.stop(); removeStaged(glob) }
+    // the drain IS the operator for declarative streams (g11/g17/g18 —
+    // state updates + sink); staging the feeder files above is ingest
+    // SIMULATION. foreachBatch variants self-time their op bodies
+    // instead, so this must not also wrap runForeachFiles.
+    try StreamOps.MaintTimer.timed(q.processAllAvailable())
+    finally { q.stop(); removeStaged(glob) }
     spark.table(name)
   }
 

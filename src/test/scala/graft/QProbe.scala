@@ -14,10 +14,16 @@ object QProbe {
     val dir = args(0)
     val s = GraftSession.get("local[32]")
     val names = args.drop(1)
+    // same knob Bench uses; skip warming (loudly) when the fixture dir
+    // is absent rather than failing by hardcoded path
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val warm = new java.io.File(warmDir).isDirectory
+    if (!warm) System.err.println(s"QProbe: warm dir $warmDir missing; cold runs")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      // warm
-      fn(s, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      if (warm)
+        fn(s, warmDir).write.format("noop").mode("overwrite").save()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(s, dir).write.format("noop").mode("overwrite").save()

@@ -32,30 +32,10 @@ class Round11Spec extends AnyFunSuite {
     def run(parts: Int): Set[(String, Long)] = {
       val tok = docs.repartition(parts)
         .select(explode(graft.functions.Text.tokens($"text")).as("token"))
-      // inline t23 body over a fixed tokenization (the op itself reads
-      // the table; this pins only the layout)
-      val mg = tok.as[String].mapPartitions { it =>
-        val m = new java.util.HashMap[String, Long]()
-        var total = 0L
-        while (it.hasNext) {
-          val t = it.next(); total += 1
-          val c = m.getOrDefault(t, 0L)
-          if (c > 0L || m.size < operators.TextOps.HhK) m.put(t, c + 1L)
-          else {
-            val e = m.entrySet().iterator()
-            while (e.hasNext) {
-              val kv = e.next()
-              if (kv.getValue <= 1L) e.remove()
-              else kv.setValue(kv.getValue - 1L)
-            }
-          }
-        }
-        val out =
-          scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
-        m.keySet().forEach(k => out += ((k, 0L, false)))
-        out += (("", total, true))
-        out.iterator
-      }.toDF("token", "cnt", "is_tally").localCheckpoint(true)
+      // t23's OWN pass-1 summarizer over a pinned layout (shared code —
+      // the spec cannot drift from the shipped MG implementation)
+      val mg = operators.TextOps.mgSummaries(tok.as[String])
+        .localCheckpoint(true)
       val nDf = mg.filter($"is_tally").agg(sum($"cnt").as("n"))
       val cand = mg.filter(!$"is_tally").select($"token").distinct()
       tok.join(cand, "token")
@@ -79,23 +59,9 @@ class Round11Spec extends AnyFunSuite {
     val mgRows = operators.TextOps.t23(s, dir) // force once (sanity)
     assert(mgRows.columns.toSeq === Seq("token", "c"))
     val cap = (operators.TextOps.HhK.toLong + 1L) * parts
-    val candRows = tok.as[String].mapPartitions { it =>
-      val m = new java.util.HashMap[String, Long]()
-      while (it.hasNext) {
-        val t = it.next()
-        val c = m.getOrDefault(t, 0L)
-        if (c > 0L || m.size < operators.TextOps.HhK) m.put(t, c + 1L)
-        else {
-          val e = m.entrySet().iterator()
-          while (e.hasNext) {
-            val kv = e.next()
-            if (kv.getValue <= 1L) e.remove()
-            else kv.setValue(kv.getValue - 1L)
-          }
-        }
-      }
-      Iterator.single(m.size.toLong + 1L)
-    }.reduce(_ + _)
+    // one candidate row per surviving MG entry + one tally row per
+    // partition — counted off the SHIPPED summarizer, not a copy
+    val candRows = operators.TextOps.mgSummaries(tok.as[String]).count()
     assert(candRows <= cap)
   }
 }
