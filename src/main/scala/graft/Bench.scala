@@ -134,7 +134,7 @@ object Bench {
       "q55_nation_profit", "q56_important_stock", "q57_supplier_cnt",
       "q58_or_chain_revenue", "q23_approx_distinct", "q27_approx_quantile",
       "g17_stream_kmv_distinct", "q59_quantile_sketch", "g18_stream_quantile",
-      "t23_heavy_hitters")
+      "t23_heavy_hitters", "s9_ivfpq_persist", "g19_stream_ivfpq_serve")
     if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -154,7 +154,7 @@ object Bench {
       "g12_stream_upsert", "g13_stream_compaction",
       "g14_stream_view_refresh", "g15_stream_ann_serve",
       "g16_stream_quality_gate", "g17_stream_kmv_distinct",
-      "g18_stream_quantile")
+      "g18_stream_quantile", "g19_stream_ivfpq_serve")
     val maintSplit = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val extraResults = extraNames.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -265,6 +265,21 @@ object Bench {
     val s8got = pairs(
       operators.Similarity.s8Query(spark, ipE, ipCoarse, ipCodes, ipCents))
     val s8recall = (truth & s8got).size.toDouble / truth.size
+    // s9: the persist+cold-reload round-trip of the SAME built index
+    // (timed apart from the two-trainer build above), then the serve
+    // cost from storage — the deployed steady-state the gate op proves
+    val tP9 = System.nanoTime()
+    val idx9 = operators.Similarity.s9PersistOf(spark, ipCoarse, ipCodes,
+      ipCents)
+    val (rCoarse, rCodes, rCents) = operators.Similarity.s9Reload(spark, idx9)
+    operators.Similarity.rmTree(idx9)
+    val s9PersistSec = (System.nanoTime() - tP9) / 1e9
+    val s9ServeSec = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      operators.Similarity.s8Query(spark, ipE, rCoarse, rCodes, rCents)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // the PQ corpus/subvector checkpoints are dead past this point — drop
     // them so the scale probes below don't pay their memory pressure
     // (measured: d5's candidate-join probe ran 4× slower with them live)
@@ -284,6 +299,7 @@ object Bench {
       f""""s6_build_s":$s6BuildSec%.3f,"s6_query_s":$s6QuerySec%.3f,""" +
       f""""s8_recall":$s8recall%.3f,""" +
       f""""s8_build_s":$s8BuildSec%.3f,"s8_query_s":$s8QuerySec%.3f,""" +
+      f""""s9_persist_s":$s9PersistSec%.3f,"s9_serve_s":$s9ServeSec%.3f,""" +
       f""""g11_encode_s":$g11EncodeSec%.3f}"""
     // scale probes: candidate-generation selectivity AND wall-time on
     // synthetic corpora big enough that a quadratic shape would show

@@ -1044,12 +1044,20 @@ object Similarity {
     // be deleted before the query plan runs (repeated gate/bench
     // invocations must not accumulate index copies in the temp dir)
     val reloadedCodes = s.read.parquet(s"$idxDir/codes").localCheckpoint(true)
+    rmTree(idxDir)
+    s6Query(s, e, reloadedCodes, reloaded)
+  }
+
+  /** Recursive delete of a temp index directory once its contents are
+    * materialized — repeated gate/bench invocations must not accumulate
+    * index copies in the temp dir (shared by [[s7]]/[[s9]]/`g19`).
+    */
+  private[graft] def rmTree(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    rm(new java.io.File(idxDir))
-    s6Query(s, e, reloadedCodes, reloaded)
+    rm(new java.io.File(path))
   }
 
   /** s8: IVF-PQ with RESIDUAL encoding (Jégou PAMI'11 §IV, the FAISS
@@ -1109,11 +1117,24 @@ object Similarity {
   def s8Query(s: SparkSession, e: DataFrame, coarse: Array[Array[Double]],
       codes: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
-    val k = coarse.length
     // bounded driver work: query set, probe cells, per-(query, cell) LUTs
     val queries = e.filter($"vec_id" < NumQueries)
       .select($"vec_id", $"emb").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    s8QueryFor(s, e, coarse, codes, cents, queries)
+  }
+
+  /** [[s8Query]] for an EXPLICIT query set — the serving path `g19`
+    * drives per streaming micro-batch against the persisted index
+    * (queries are independent, so batched union ≡ the full run; the
+    * s6QueryFor↔g15 discipline).
+    */
+  private[graft] def s8QueryFor(s: SparkSession, e: DataFrame,
+      coarse: Array[Array[Double]], codes: DataFrame,
+      cents: Array[Array[Array[Double]]],
+      queries: Array[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
+    val k = coarse.length
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
@@ -1218,14 +1239,90 @@ object Similarity {
     FROM ranked WHERE rnk <= $TopK"""
   }
 
+  /** s9: the IVF-PQ index ROUND-TRIPPED THROUGH STORAGE — [[s7]]'s
+    * persist/serve discipline applied to the [[s8]] composite (the
+    * round-11 verdict's one remaining deployment-shape gap: a rebuilt-
+    * per-session IVF-PQ index doesn't match the reference's persistent
+    * always-on store, reference runners/flink/.../StreamyDb.scala:177-242).
+    * [[s8Index]]'s three artifacts — the k×Dim coarse codebook, the
+    * NumSub×SubK×SubDim residual-PQ codebook, and the (vec_id, cell, m,
+    * cid) code table — are written to parquet, reloaded COLD (k itself
+    * is re-derived from the stored rows), and the reloaded index serves
+    * [[s8Query]]. At 100 TB this is the shape that matters: the
+    * two-trainer build runs once; every query session reads ~16 KiB of
+    * codebooks plus the skinny code table. Doubles survive a parquet
+    * round-trip bit-exactly, so the gate is the FULL [[s8Sql]] hash — the
+    * reloaded index must reproduce the live composite to the last
+    * tie-break.
+    */
+  def s9(s: SparkSession, dir: String): DataFrame = {
+    val (e, idxDir) = s9Persist(s, dir)
+    val (coarse, codes, cents) = s9Reload(s, idxDir)
+    rmTree(idxDir)
+    s8Query(s, e, coarse, codes, cents)
+  }
+
+  /** Build the s8 index and persist it; returns (corpus, index dir). */
+  private[graft] def s9Persist(s: SparkSession, dir: String)
+      : (DataFrame, String) = {
+    val (e, coarse, codes, cents) = s8Index(s, dir)
+    (e, s9PersistOf(s, coarse, codes, cents))
+  }
+
+  /** Persist an ALREADY-BUILT s8 index's three artifacts to a fresh
+    * directory (split from [[s9Persist]] so the bench can time the
+    * persist+reload round-trip apart from the two-trainer build).
+    */
+  private[graft] def s9PersistOf(s: SparkSession,
+      coarse: Array[Array[Double]], codes: DataFrame,
+      cents: Array[Array[Array[Double]]]): String = {
+    import s.implicits._
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_index").toString
+    (for { cid <- coarse.indices; d <- coarse(cid).indices }
+      yield (cid, d, coarse(cid)(d)))
+      .toDF("cid", "dim", "x").repartition(1)
+      .write.mode("overwrite").parquet(s"$idxDir/coarse")
+    (for {
+      m <- cents.indices; cid <- cents(m).indices; d <- cents(m)(cid).indices
+    } yield (m, cid, d, cents(m)(cid)(d)))
+      .toDF("m", "cid", "dim", "x").repartition(1)
+      .write.mode("overwrite").parquet(s"$idxDir/codebook")
+    codes.write.mode("overwrite").parquet(s"$idxDir/codes")
+    idxDir
+  }
+
+  /** Reload a persisted s8 index cold: nothing but the stored rows —
+    * the cell count k comes from the coarse rows themselves. The code
+    * table is materialized so the on-disk copy can be deleted before
+    * the serve plan runs (the [[s7]] discipline).
+    */
+  private[graft] def s9Reload(s: SparkSession, idxDir: String)
+      : (Array[Array[Double]], DataFrame, Array[Array[Array[Double]]]) = {
+    val coarseRows = s.read.parquet(s"$idxDir/coarse").collect()
+    val k = coarseRows.iterator.map(_.getAs[Int]("cid")).max + 1
+    val coarse = Array.ofDim[Double](k, Dim)
+    coarseRows.foreach { r =>
+      coarse(r.getAs[Int]("cid"))(r.getAs[Int]("dim")) = r.getAs[Double]("x")
+    }
+    val cents = Array.ofDim[Double](NumSub, SubK, SubDim)
+    s.read.parquet(s"$idxDir/codebook").collect().foreach { r =>
+      cents(r.getAs[Int]("m"))(r.getAs[Int]("cid"))(r.getAs[Int]("dim")) =
+        r.getAs[Double]("x")
+    }
+    val codes = s.read.parquet(s"$idxDir/codes").localCheckpoint(true)
+    (coarse, codes, cents)
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_bruteforce_topk" -> s1, "s2_lsh_ann" -> s2, "s3_ivf_ann" -> s3,
     "s4_knn_join" -> s4, "s5_radius_search" -> s5, "s6_pq_ann" -> s6,
-    "s7_pq_persist" -> s7, "s8_ivfpq_ann" -> s8)
+    "s7_pq_persist" -> s7, "s8_ivfpq_ann" -> s8, "s9_ivfpq_persist" -> s9)
 
   val oracles: Map[String, String] = Map(
     "s1_bruteforce_topk" -> s1Sql, "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql, "s4_knn_join" -> s4Sql,
     "s5_radius_search" -> s5Sql, "s6_pq_ann" -> s6Sql,
-    "s7_pq_persist" -> s6Sql, "s8_ivfpq_ann" -> s8Sql)
+    "s7_pq_persist" -> s6Sql, "s8_ivfpq_ann" -> s8Sql,
+    "s9_ivfpq_persist" -> s8Sql)
 }
