@@ -149,3 +149,99 @@ object L2Squared {
   def apply(a: Column, b: Column): Column =
     bridge.column(L2Squared(bridge.expression(a), bridge.expression(b)))
 }
+
+/** Sign-bit LSH bucket id over one hyperplane table: bit p of the result
+  * is set when dot(emb, planes[p]) >= 0, with each dot the SAME ascending
+  * IEEE multiply-accumulate from 0.0 as [[DotProduct]] — so swapping the
+  * per-plane `when(dot >= 0, 1<<p)` expression tree for this kernel
+  * cannot move the s2/s5/d5/d11 hash gates.
+  *
+  * Why it exists (round 12): one bucket as a Catalyst tree is 16
+  * DotProduct loops + 16 Whens + an Add chain, and the four-table corpus
+  * bucketing projection inlines FOUR such trees into one generated
+  * consume() — past HotSpot's huge-method bytecode threshold, so the
+  * whole stage ran in the JVM bytecode interpreter. Measured at sf10
+  * (200k vectors): 1-table materialization 1.8 s, 2-table 3.6 s, 4-table
+  * 42-48 s (the JIT cliff, not data growth). One nested loop per table
+  * with the plane matrix as a codegen reference object keeps the method
+  * tiny and the stage JIT-compiled.
+  */
+case class SignBucket(child: Expression, planes: Array[Double],
+    numPlanes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def getter: String = child.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case t => throw new IllegalArgumentException(s"sign_bucket over $t")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_bucket expects a float/double array, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      // identical to DotProduct over min(|emb|, dim) elements
+      val n = math.min(x.numElements(), dim)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+        dot += xi * planes(p * dim + i)
+        i += 1
+      }
+      if (dot >= 0.0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $b = 0;
+        int $n = java.lang.Math.min($a.numElements(), $dim);
+        for (int $p = 0; $p < $numPlanes; $p++) {
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += (double) $a.$getter($i) * $w[$p * $dim + $i];
+          }
+          if ($dot >= 0.0) $b |= (1 << $p);
+        }
+        ${ev.value} = $b;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignBucket {
+  /** `planes` is the (numPlanes × dim) hyperplane table, flattened
+    * row-major into the codegen reference array.
+    */
+  def apply(planes: Array[Array[Double]], emb: Column): Column = {
+    val np = planes.length
+    val dim = planes.head.length
+    val flat = new Array[Double](np * dim)
+    var i = 0
+    for (p <- 0 until np; j <- 0 until dim) { flat(i) = planes(p)(j); i += 1 }
+    bridge.column(SignBucket(bridge.expression(emb), flat, np, dim))
+  }
+}

@@ -175,12 +175,18 @@ object Similarity {
     Vec.dotFast(emb, array(wgt.map(lit): _*))
 
   /** Sign-bit bucket id for one embedding column (table 0 is shared with
-    * Dedup.d5's candidate gating).
+    * Dedup.d5's candidate gating). One native nested-loop kernel
+    * ([[graft.functions.SignBucket]]) rather than a per-plane
+    * `when(dot >= 0, 1<<p)` tree: four such trees in the one corpus
+    * bucketing projection blew the generated method past the JIT's
+    * huge-method threshold and de-optimized the whole stage to the
+    * bytecode interpreter (measured at sf10: 42 s for what the kernel
+    * does in ~2 s — see SignBucket's scaladoc). The kernel's per-plane
+    * dot is the identical ascending IEEE chain, so every hash gate that
+    * replays this bucket id (s2/s5/d5/d11 oracles) is unmoved.
     */
   private[operators] def bucketCol(emb: Column, table: Int, planes: Int): Column =
-    planeTable(table, planes).zipWithIndex.map { case (w, p) =>
-      when(dotCol(emb, w) >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.functions.SignBucket(planeTable(table, planes), emb)
 
   /** s2: random-hyperplane LSH ANN — [[NumTables]] independent hash
     * tables, query-directed multi-probe per table (<=[[poolRadius]] bit
