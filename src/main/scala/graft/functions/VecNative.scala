@@ -245,3 +245,105 @@ object SignBucket {
     bridge.column(SignBucket(bridge.expression(emb), flat, np, dim))
   }
 }
+
+/** Argmin-L2 cell assignment against a baked-in coarse codebook: returns
+  * the lowest cid achieving the minimum squared L2 distance (strict `<`
+  * scanning cid ascending — identical tie semantics to the two-pass
+  * min(d2)/min(cid) form it replaces, and each d2 the same ascending
+  * IEEE chain as [[L2Squared]], so the s3/s8 oracle replays are unmoved).
+  *
+  * Why it exists (round 12): ivfTrain's assignment ran the N×k broadcast
+  * scoring TWICE (min-d2 pass + exact-tie re-score pass) plus two hash
+  * aggregations over the 89.6M scored rows per assign at sf10 — the
+  * dominant cost of the s8/s9/g19 index build. This is [[PqEncode]]'s
+  * treatment applied to the coarse quantizer: one projection, one fused
+  * k×dim loop per row, no scored-row materialization, no aggregation.
+  * The codebook reference object is k×dim doubles — the same bounded
+  * √N·Dim transfer the final probe-selection collect already pays
+  * (16 MB at N=1e9), and the means-side Lloyd fold stays distributed.
+  */
+case class L2ArgMin(child: Expression, cents: Array[Double],
+    k: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def getter: String = child.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case t => throw new IllegalArgumentException(s"l2_argmin over $t")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"l2_argmin expects a float/double array, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(x.numElements(), dim)
+    var best = -1
+    var bestD = Double.MaxValue
+    var cid = 0
+    while (cid < k) {
+      var d = 0.0
+      val base = cid * dim
+      var i = 0
+      while (i < n) {
+        val xi = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+        val diff = xi - cents(base + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = cid }
+      cid += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("coarseCodebook", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cid = ctx.freshName("cid")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $dim);
+        int $best = -1;
+        double $bestD = Double.MAX_VALUE;
+        for (int $cid = 0; $cid < $k; $cid++) {
+          double $d = 0.0;
+          int $base = $cid * $dim;
+          for (int $i = 0; $i < $n; $i++) {
+            double $diff = (double) $a.$getter($i) - $cb[$base + $i];
+            $d += $diff * $diff;
+          }
+          if ($d < $bestD) { $bestD = $d; $best = $cid; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object L2ArgMin {
+  /** `cents` is the (k × dim) codebook, flattened row-major by cid. */
+  def apply(cents: Array[Array[Double]], emb: Column): Column = {
+    val k = cents.length
+    val dim = cents.head.length
+    val flat = new Array[Double](k * dim)
+    var i = 0
+    for (c <- 0 until k; j <- 0 until dim) { flat(i) = cents(c)(j); i += 1 }
+    bridge.column(L2ArgMin(bridge.expression(emb), flat, k, dim))
+  }
+}

@@ -30,6 +30,8 @@ object Vec {
   def cosineFast(a: Column, b: Column): Column = CosineSimilarity(a, b)
   def dotFast(a: Column, b: Column): Column = DotProduct(a, b)
   def l2sqFast(a: Column, b: Column): Column = L2Squared(a, b)
+  def l2ArgMin(cents: Array[Array[Double]], emb: Column): Column =
+    L2ArgMin(cents, emb)
 }
 
 /** DuckDB twins of [[Vec]] (dim is the fixed embedding width). */

@@ -343,8 +343,11 @@ object Dedup {
     */
   def d5BucketsOf(emb: DataFrame, planes: Int): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.select($"vec_id", $"embedding",
-        Similarity.bucketCol($"embedding", 0, planes).as("bucket"))
+    // parallelized: the frozen bucket layout feeds the probe explode and
+    // both sides of the candidate join (Materialize.parallelized)
+    graft.plans.Materialize.parallelized(
+      emb.select($"vec_id", $"embedding",
+        Similarity.bucketCol($"embedding", 0, planes).as("bucket")))
       .localCheckpoint(true)
   }
 

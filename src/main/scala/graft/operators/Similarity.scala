@@ -218,8 +218,11 @@ object Similarity {
     val r = poolRadius(p)
     val wb = weakBits(p)
     val budget = probeBudget(p)
-    val e = e0.select(($"vec_id" +: $"embedding" +: (0 until NumTables).map(t =>
-        bucketCol($"embedding", t, p).as(s"b$t"))): _*)
+    // parallelized: the bucket checkpoint feeds all four per-table
+    // candidate joins (the Materialize.parallelized rationale)
+    val e = graft.plans.Materialize.parallelized(
+      e0.select(($"vec_id" +: $"embedding" +: (0 until NumTables).map(t =>
+        bucketCol($"embedding", t, p).as(s"b$t"))): _*))
       .localCheckpoint(true)
     // probe masks as POSITION SUBSETS into the query's weak-bit list —
     // ONE array literal + transform lambdas, not C(wb,<=r) XOR literal
@@ -295,8 +298,12 @@ object Similarity {
   private[graft] def ivfTrain(s: SparkSession, dir: String)
       : (DataFrame, Array[Array[Double]], DataFrame) = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    // parallelized: this checkpoint feeds FIVE corpus passes (3 assigns +
+    // 2 means) — frozen skewed input splits idle most cores on each (see
+    // Materialize.parallelized's measurements)
+    val e = graft.plans.Materialize.parallelized(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb")))
       .localCheckpoint(true)
     val k = numCentroids(e.count())
     // seed: the k lowest vec_ids by RANK (sort-limit, so exactly k seeds
@@ -312,56 +319,53 @@ object Similarity {
         $"emb".as("c_emb"))
       .localCheckpoint(true)
 
-    // argmin over the codebook: broadcast cross-join scoring with the
-    // NATIVE L2 kernel, then a TWO-PASS hash-aggregable min — min(d2)
-    // per vector, then min(cid) among exact-bits ties — instead of one
-    // min(struct(d2, cid)) + first(emb). The struct/array buffers of the
-    // one-pass form are not HashAggregateExec-mutable, so Spark planned
-    // a SortAggregate that SORTED the N x k scored rows carrying the
-    // full 64-double emb payload (46 GB spilled at sf10), with the
-    // zip_with/aggregate distance interpreted inside the sort projection
-    // (no codegen for higher-order funcs) — measured >6 min per Lloyd
-    // pass at 200k x 448. Both passes here are partial+final
-    // HashAggregates over skinny (vec_id, cid, d2) rows; scoring runs
-    // twice but codegen'd it is the cheap part, and the tie-break
-    // semantics (lowest cid at the bitwise-equal minimum d2 — d2 is the
-    // same deterministic expression both times) are unchanged, so the
-    // DuckDB replay is untouched.
-    def assignCids(codebook: DataFrame): DataFrame = {
-      val best = e.crossJoin(broadcast(codebook))
-        .select($"vec_id", Vec.l2sqFast($"emb", $"c_emb").as("d2"))
-        .groupBy($"vec_id").agg(min($"d2").as("bd2"))
-      // pass 2 re-scores with bd2 already ON the corpus row (an N-row
-      // co-partitioned join, never an O(N) broadcast), so the N x k
-      // scored relation exists only as a streamed filter input
-      e.join(best, "vec_id")
-        .crossJoin(broadcast(codebook))
-        .filter(Vec.l2sqFast($"emb", $"c_emb") === $"bd2")
-        .groupBy($"vec_id").agg(min($"cid").as("cid"))
+    // argmin over the codebook: a native single-projection kernel
+    // ([[graft.functions.L2ArgMin]], the [[pqEncode]] treatment applied
+    // to the coarse quantizer — round 12). History: one-pass
+    // min(struct(d2, cid)) + first(emb) planned a SortAggregate that
+    // sorted N x k scored rows with the 64-double payload (46 GB spilled
+    // at sf10, interpreted distance — >6 min/pass at 200k x 448);
+    // round 11 replaced it with TWO broadcast cross-join scoring passes +
+    // two skinny HashAggregates (min d2, then min cid among exact ties);
+    // round 12 retires both passes for one fused k x dim argmin loop per
+    // row — no scored-row materialization, no aggregation, no join
+    // (interleaved A/B in the scaladoc of L2ArgMin's probe: see
+    // docs/BENCH_sf10_r12 ann splits). Tie semantics identical (strict <
+    // over ascending cid = lowest cid at the bitwise-equal minimum; each
+    // d2 the same ascending IEEE chain), so the DuckDB replay is
+    // untouched. The codebook reference object is k x Dim doubles — the
+    // SAME bounded sqrt(N)*Dim transfer the final probe-selection collect
+    // below already pays (16 MB at N=1e9); the means-side Lloyd fold
+    // stays fully distributed.
+    def assign(codebook: DataFrame): DataFrame = {
+      val cents = codebook.orderBy($"cid").collect()
+        .map(_.getSeq[Double](1).toArray) // k x Dim, cids dense by seed
+      e.select($"vec_id", Vec.l2ArgMin(cents, $"emb").as("cid"), $"emb")
     }
-    def assign(codebook: DataFrame): DataFrame =
-      assignCids(codebook).join(e, "vec_id").select($"vec_id", $"cid", $"emb")
 
     // Lloyd iterations: assignment + order-independent fixed-point mean
     // per cell/dim (exact integer sum of 1e-6 ticks, then two IEEE
     // divisions — bit-equal in DuckDB regardless of aggregation order).
-    // An EMPTY cell keeps its previous centroid (left join + coalesce),
-    // matching the driver-array semantics the DuckDB replay pins; one
-    // k-row localCheckpoint per iteration keeps the lineage flat instead
-    // of stacking assignments.
+    // The per-dim tick sums come from ONE unexploded pass over the
+    // corpus ([[graft.functions.TickSumAgg]] — round 12; the previous
+    // posexplode → (cid, dim) hash agg built 12.8M Generate rows per
+    // iteration, 7 s of the ~30 s sf10 build, to compute the same
+    // order-free integer sums). The mean is the identical
+    // (sum.toDouble / n) / 1e6 two-division chain, so the replay is
+    // unmoved. An EMPTY cell keeps its previous centroid (left join +
+    // fallback on the k-row frame), matching the driver-array semantics
+    // the DuckDB replay pins; one k-row localCheckpoint per iteration
+    // keeps the lineage flat instead of stacking assignments.
     for (_ <- 0 until LloydIters) {
-      val means = assign(cdf)
-        .select($"cid", posexplode($"emb").as(Seq("dim", "x")))
-        .groupBy($"cid", $"dim")
-        .agg(((sum(floor($"x" * 1e6)).cast("double") / count(lit(1))) / 1e6)
-          .as("m"))
+      val sums = assign(cdf).groupBy($"cid")
+        .agg(graft.functions.TickSumAgg($"emb", Dim).as("ts"))
       cdf = cdf
-        .select($"cid", posexplode($"c_emb").as(Seq("dim", "x0")))
-        .join(means, Seq("cid", "dim"), "left_outer")
-        .groupBy($"cid")
-        .agg(transform(array_sort(collect_list(
-            struct($"dim", coalesce($"m", $"x0").as("x")))),
-          p => p.getField("x")).as("c_emb"))
+        .join(sums, Seq("cid"), "left_outer")
+        .select($"cid",
+          when($"ts".isNull, $"c_emb").otherwise(
+            transform(slice($"ts", 2, Dim), t =>
+              (t.cast("double") / element_at($"ts", 1).cast("double")) / 1e6))
+            .as("c_emb"))
         .localCheckpoint(true)
     }
 
@@ -774,8 +778,11 @@ object Similarity {
   private[graft] def pqTrain(s: SparkSession, dir: String)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    // parallelized: feeds PqIters encode+mean passes plus the corpus
+    // encode and every ADC scan (the Materialize.parallelized rationale)
+    val e = graft.plans.Materialize.parallelized(
+      Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb")))
       .localCheckpoint(true)
     (e, pqTrainOf(e))
   }

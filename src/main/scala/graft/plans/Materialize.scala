@@ -24,4 +24,24 @@ object Materialize {
   implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
     def materialize: DataFrame = checkpoint(df)
   }
+
+  /** Upsize a frame to the session's default parallelism before an eager
+    * checkpoint whose blocks will feed REPEATED compute-heavy passes
+    * (Lloyd assignments, LSH bucketing, PQ encodes). A small-SF parquet
+    * table splits into fewer — and size-skewed — input partitions than
+    * the session has cores, and a localCheckpoint FREEZES that layout for
+    * every downstream pass: measured at sf10 (round 12, PartProbe), the
+    * 52 MB embeddings table read as 13 skewed partitions ran the native
+    * argmin scan in 6.2 s vs 0.64 s after repartition(32) — a 10× idle-
+    * core tax paid on every one of ivfTrain's five corpus passes. Never
+    * downsizes: at real scale the input already has ≥ cores partitions
+    * and this is the identity (results are partition-layout independent
+    * at every call site — order-free integer-tick sums, per-row
+    * projections, min-aggregates — so the repartition cannot move a
+    * gate).
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 }
