@@ -119,7 +119,14 @@ gen("embeddings", lambda i: f"""
          label FROM {src('embeddings')}""")
 
 # re-cast to the source's exact arrow schema (DuckDB normalizes
-# timestamps; the driver's testdata may carry [ns]/[ms] units)
+# timestamps; the driver's testdata may carry [ns]/[ms] units), and
+# ALWAYS rewrite with bounded row groups: DuckDB's COPY emits ~123k-row
+# groups, which left sf10 documents with FIVE row groups — Spark cannot
+# split inside a row group, so every scan of the table was capped at
+# 5-way parallelism on a 32-core box (round 12, PartProbe: one partition
+# held 25% of the corpus). Real lake tables at 100 TB have thousands of
+# files x row groups; ~64 groups per table keeps the dev fixture's scan
+# parallelism representative of that, not of a single fat COPY.
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -130,7 +137,9 @@ for t in ("region", "nation", "customer", "supplier", "part", "orders",
     tbl = pq.read_table(dst_path)
     target = pa.schema([src_schema.field(n) for n in tbl.schema.names])
     if tbl.schema != target:
-        pq.write_table(tbl.cast(target), dst_path)
+        tbl = tbl.cast(target)
         print(f"{t}: schema re-cast to source types")
+    pq.write_table(tbl, dst_path,
+                   row_group_size=max(4096, tbl.num_rows // 64))
 
 print("done ->", DST)

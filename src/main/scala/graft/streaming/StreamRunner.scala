@@ -59,7 +59,16 @@ object StreamRunner {
     val base = (System.currentTimeMillis() / 1000) * 1000
     batches.zipWithIndex.foreach { case (b, i) =>
       val dir = s"$root/b$i"
-      b.coalesce(1).write.mode("overwrite").parquet(dir)
+      // one FILE per batch (maxFilesPerTrigger=1 replay ordering needs
+      // it) but bounded ROW GROUPS inside it: parquet can't be split
+      // within a row group, so the writer's default ~128 MB block left
+      // each staged micro-batch readable at 1-2-way parallelism — the
+      // per-batch op work (banding, gate scoring) ran on idle cores
+      // (round 12; the Materialize.parallelized finding applied to the
+      // ingest-sim path)
+      b.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(dir)
       new java.io.File(dir).listFiles()
         .filter(f => f.isFile && !f.getName.startsWith("_") &&
           !f.getName.startsWith("."))
