@@ -45,14 +45,18 @@ case class TickSumAgg(child: Expression, dim: Int,
   // buf(0) = row count, buf(1+i) = sum of floor(x_i * 1e6)
   override def createAggregationBuffer(): Array[Long] = new Array[Long](dim + 1)
 
+  // Rows with fewer than `dim` elements are SKIPPED entirely (no count,
+  // no ticks): the exploded (cid, dim) form this replaces counted rows
+  // per present pair, so a short array contributing to buf(0) but not to
+  // every dimension would shift the per-dimension mean denominator.
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), dim)
+      if (x.numElements() < dim) return buf
       buf(0) += 1L
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
         buf(1 + i) += math.floor(xi * 1e6).toLong
         i += 1

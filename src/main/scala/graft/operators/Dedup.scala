@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{SimHash, Text, TextSql, Vec, VecSql}
+import graft.functions.{BloomProbe, SimHash, Text, TextSql, Vec, VecSql}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -992,9 +992,15 @@ object Dedup {
     * shape: the filter is represented as its set-position table (≤2^20
     * rows regardless of corpus size — at 100 TB the filter is still
     * 128 KiB as a bitmap, which is the point: the pre-filter is
-    * memory-resident everywhere while the exact gram set is not); probes
-    * join on the position key, everything else per-row. Full hash gate
-    * (both engines replay the identical md5-word arithmetic).
+    * memory-resident everywhere while the exact gram set is not). The
+    * PROBE is the native `BloomProbe` expression: the ≤2^20 distinct
+    * set positions are collected once (bounded by construction — they
+    * are already reduced mod 2^20 on the build side) into a 128 KiB
+    * long[] bitset baked into codegen as a reference object, so each
+    * test gram's membership test is a pure projection — no explode, no
+    * position join, no re-group (the round-12 shape shuffled
+    * k×|test grams| rows for what is per-row bit arithmetic). Full hash
+    * gate (both engines replay the identical md5-word arithmetic).
     */
   def d14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1008,19 +1014,17 @@ object Dedup {
       .localCheckpoint(true)
     def posCols(mh: Column): Seq[Column] = (0 until BloomK).map(j =>
       conv(substring(mh, 8 * j + 1, 8), 16, 10).cast("long") % BloomBits)
-    // the filter: distinct set positions over the train split's grams
-    val bloom = grams.filter($"doc_id" % 10 =!= 0)
+    // the filter: distinct set positions over the train split's grams,
+    // collected to the driver (≤2^20 longs = 8 MB worst case) and baked
+    // into the native probe's bitset
+    val positions: Array[Long] = grams.filter($"doc_id" % 10 =!= 0)
       .select(explode(array(posCols($"mh"): _*)).as("pos")).distinct()
-      .withColumn("set", lit(1))
+      .as[Long].collect()
     val trainSet = grams.filter($"doc_id" % 10 =!= 0)
       .select($"mh").distinct().withColumn("intrain", lit(1))
     val test = grams.filter($"doc_id" % 10 === 0)
     val probed = test
-      .select($"doc_id", $"mh", $"c",
-        explode(array(posCols($"mh"): _*)).as("pos"))
-      .join(bloom, Seq("pos"), "left_outer")
-      .groupBy($"doc_id", $"mh", $"c")
-      .agg((count($"set") === BloomK).as("maybe"))
+      .withColumn("maybe", BloomProbe(positions, BloomK, BloomBits, $"mh"))
       .join(trainSet, Seq("mh"), "left_outer")
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_grams"),

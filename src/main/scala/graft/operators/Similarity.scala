@@ -183,10 +183,14 @@ object Similarity {
     * bytecode interpreter (measured at sf10: 42 s for what the kernel
     * does in ~2 s — see SignBucket's scaladoc). The kernel's per-plane
     * dot is the identical ascending IEEE chain, so every hash gate that
-    * replays this bucket id (s2/s5/d5/d11 oracles) is unmoved.
+    * replays this bucket id (s2/s5/d5/d11 oracles) is unmoved. NULL
+    * embeddings land in bucket 0 (the coalesce below) — SignBucket is a
+    * null-intolerant UnaryExpression, and without the wrap a null row
+    * would silently drop out of every bucket join, where the
+    * pre-round-12 `when(dot >= 0, ...)` tree kept it in bucket 0.
     */
   private[operators] def bucketCol(emb: Column, table: Int, planes: Int): Column =
-    graft.functions.SignBucket(planeTable(table, planes), emb)
+    coalesce(graft.functions.SignBucket(planeTable(table, planes), emb), lit(0))
 
   /** s2: random-hyperplane LSH ANN — [[NumTables]] independent hash
     * tables, query-directed multi-probe per table (<=[[poolRadius]] bit
@@ -309,10 +313,11 @@ object Similarity {
     // seed: the k lowest vec_ids by RANK (sort-limit, so exactly k seeds
     // even if vec_ids are sparse — `vec_id < k` would silently under-seed).
     // The codebook stays a DISTRIBUTED k-row DataFrame through the Lloyd
-    // loop (round-10 verdict item 7): per-iteration means never collect —
-    // the only data-dependent driver transfer in the whole build is the
-    // single final-codebook collect below, bounded at k×Dim ~ √N·64
-    // doubles (the probe-selection input, which is driver math by design).
+    // loop (round-10 verdict item 7): per-iteration MEANS never collect.
+    // Since round 12, assign() does collect the codebook — once per call
+    // (each Lloyd iteration + the final assignment) — to bake it into the
+    // native L2ArgMin kernel; every such transfer is bounded at k×Dim ~
+    // √N·64 doubles, never data-sized.
     var cdf: DataFrame = e.orderBy($"vec_id").limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy($"vec_id")).cast("int").minus(1).as("cid"),
