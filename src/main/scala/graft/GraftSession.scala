@@ -9,8 +9,28 @@ import org.apache.spark.sql.SparkSession
   * partition counts (`spark.sql.adaptive.*` stays on either way).
   */
 object GraftSession {
-  def builder(master: String = "local[32]"): SparkSession.Builder =
-    SparkSession.builder()
+  /** Streaming state-store provider. Default is Spark's HDFS-backed
+    * store: executor-heap state, right-sized for the bounded-state ops
+    * (g17/g18 keep O(K) sketch rows, the txn engine O(open keys)). Set
+    * `SPARK_GRAFT_STATE_STORE=rocksdb` for the unbounded-domain case —
+    * g2/g8-style per-user state at 100 TB outgrows executor heap, and
+    * RocksDB spills it to local SSD with changelog checkpointing instead
+    * of OOMing the executor. Both providers are gated green against the
+    * same DuckDB oracles (round 13; docs/ROCKSDB_r13.md records the
+    * throughput/state-size comparison on the 1M-event g8 feed).
+    */
+  private[graft] val stateStoreProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+      case Some("rocksdb") => Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      case Some("hdfs") | None => None
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATE_STORE must be hdfs or rocksdb, got $other")
+    }
+
+  def builder(master: String = "local[32]"): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .withExtensions(new functions.GraftExtensions)
       .master(master)
       .appName("graft")
@@ -23,6 +43,9 @@ object GraftSession {
       // Tables.events lower to µs (truncating, matching DuckDB's read).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    stateStoreProvider.fold(b)(
+      b.config("spark.sql.streaming.stateStore.providerClass", _))
+  }
 
   def get(master: String = "local[32]"): SparkSession = {
     val spark = builder(master).getOrCreate()

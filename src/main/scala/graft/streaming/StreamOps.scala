@@ -42,6 +42,14 @@ object StreamOps {
     * blocks would otherwise accumulate until driver GC happened to
     * trigger ContextCleaner. Checkpoints that existed BEFORE the batch
     * (the persisted corpus index) are untouched.
+    *
+    * SINGLE-STREAM ASSUMPTION: new persistent RDDs are identified by
+    * diffing `getPersistentRDDs` around the body, so an RDD persisted
+    * CONCURRENTLY by another stream or thread during the batch would be
+    * unpersisted too — and for localCheckpoint'd RDDs the blocks are the
+    * only copy, so that is unrecoverable. Every bench/gate caller runs
+    * one stream at a time; callers that ever interleave streams must
+    * track the batch's frames explicitly instead of diffing.
     */
   private def droppingBatchCheckpoints[A](s: SparkSession)(body: => A): A = {
     val before = s.sparkContext.getPersistentRDDs.keySet
@@ -62,7 +70,8 @@ object StreamOps {
     val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"event_type")
     def half(p: Int) = ev.filter($"event_id" % 2 === p)
       .select($"user_id", $"event_type")
-    StreamRunner.runFiles(s, Seq(half(0), half(1))) { df =>
+    StreamRunner.runFiles(s, Seq(half(0), half(1)),
+        cacheKey = Some(s"$dir#g1")) { df =>
       df.dropDuplicates("user_id", "event_type")
     }
   }
@@ -108,7 +117,7 @@ object StreamOps {
         lit(-1L).as("eventId"))
     val batches = Seq(
       ev.filter($"tsUs" < mid), ev.filter($"tsUs" >= mid), sentinels)
-    StreamRunner.runFiles(s, batches) { df =>
+    StreamRunner.runFiles(s, batches, cacheKey = Some(s"$dir#g2")) { df =>
       df.as[SessEvent].groupByKey(_.userId)
         .flatMapGroupsWithState[SessState, Session](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, gs) =>
@@ -160,7 +169,8 @@ object StreamOps {
   def g3(s: SparkSession, dir: String): DataFrame = {
     val views = sideHalves(s, dir, "view", "v_user", "view_id", "v_ts")
     val clicks = sideHalves(s, dir, "click", "c_user", "click_id", "c_ts")
-    StreamRunner.run2Files(s, views, clicks) { (v, c) =>
+    StreamRunner.run2Files(s, views, clicks,
+        cacheKey = Some(s"$dir#g3")) { (v, c) =>
       v.withWatermark("v_ts", "1 hour")
         .join(c.withWatermark("c_ts", "1 hour"),
           expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 10 minutes"))
@@ -190,7 +200,8 @@ object StreamOps {
     val clicks = withSentinel(
       sideHalves(s, dir, "click", "c_user", "click_id", "c_ts"),
       "c_user", "click_id", "c_ts")
-    StreamRunner.run2Files(s, views, clicks) { (v, c) =>
+    StreamRunner.run2Files(s, views, clicks,
+        cacheKey = Some(s"$dir#g7")) { (v, c) =>
       v.withWatermark("v_ts", "1 hour")
         .join(c.withWatermark("c_ts", "1 hour"),
           expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 10 minutes"),
@@ -216,7 +227,8 @@ object StreamOps {
     val cust = Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_mktsegment")
     val ev = Tables.events(s, dir).select($"event_id", $"user_id")
     StreamRunner.runFiles(s,
-      Seq(ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))) { df =>
+      Seq(ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1)),
+      cacheKey = Some(s"$dir#g4")) { df =>
       df.join(Hints.maybeBroadcast(cust), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
     }
@@ -249,7 +261,8 @@ object StreamOps {
     val sentinel = Seq((-1L,
       new java.sql.Timestamp(maxMs + 4L * 3600 * 1000))).toDF("user_id", "ts")
     StreamRunner.runFiles(s, Seq(ev.filter($"ts".cast("long") < mid),
-      ev.filter($"ts".cast("long") >= mid), sentinel)) { df =>
+      ev.filter($"ts".cast("long") >= mid), sentinel),
+      cacheKey = Some(s"$dir#g5")) { df =>
       df.withWatermark("ts", "0 seconds")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).cast("long").as("n_events"))
@@ -287,7 +300,7 @@ object StreamOps {
     def half(p: Int) = ev.filter($"event_id" % 2 === p)
       .select($"event_type", $"user_id")
     StreamRunner.runFiles(s, Seq(half(0), half(1)),
-        outputMode = "complete") { df =>
+        outputMode = "complete", cacheKey = Some(s"$dir#g6")) { df =>
       df.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_events"),
           min(col("user_id")).as("first_user"),
@@ -327,7 +340,7 @@ object StreamOps {
       .toDF("user_id", "ts")
     StreamRunner.runFiles(s, Seq(ev.filter($"ts".cast("long") < mid),
       ev.filter($"ts".cast("long") >= mid),
-      sentinel(30), sentinel(60))) { df =>
+      sentinel(30), sentinel(60)), cacheKey = Some(s"$dir#g8")) { df =>
       df.withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("user_id"))
         .agg(count(lit(1)).as("n"))
@@ -354,7 +367,7 @@ object StreamOps {
     val ev = Tables.events(s, dir).select($"event_id", $"user_id")
     def half(p: Int) = ev.filter($"event_id" % 2 === p).select($"user_id")
     StreamRunner.runFiles(s, Seq(half(0), half(1)),
-        outputMode = "complete") { df =>
+        outputMode = "complete", cacheKey = Some(s"$dir#g9")) { df =>
       df.groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("n_events"))
         .orderBy(col("n_events").desc, col("user_id"))
@@ -397,7 +410,8 @@ object StreamOps {
     val out = StreamRunner.stagingRoot(s, "g10_")
     StreamRunner.runForeachFiles(s,
         Seq(fresh.filter($"doc_id" % 2 === 0),
-          fresh.filter($"doc_id" % 2 === 1))) { (batch, _) =>
+          fresh.filter($"doc_id" % 2 === 1)),
+        cacheKey = Some(s"$dir#g10")) { (batch, _) =>
         MaintTimer.timed { droppingBatchCheckpoints(s) {
       val bb = Dedup.bandRowsOf(batch).toDF("b_id", "bi", "bh")
       // eager: cand feeds the verify join AND the id restriction below
@@ -449,7 +463,7 @@ object StreamOps {
     */
   def g11(s: SparkSession, dir: String): DataFrame = {
     val (e, cents) = graft.operators.Similarity.pqTrain(s, dir)
-    g11Encode(s, e, cents)
+    g11Encode(s, e, cents, cacheKey = Some(s"$dir#g11"))
   }
 
   /** [[g11]]'s streaming encode against an already-learned codebook —
@@ -457,11 +471,13 @@ object StreamOps {
     * one-time Lloyd training in front of it.
     */
   private[graft] def g11Encode(s: SparkSession, e: DataFrame,
-      cents: Array[Array[Array[Double]]]): DataFrame = {
+      cents: Array[Array[Array[Double]]],
+      cacheKey: Option[String] = None): DataFrame = {
     import s.implicits._
     import graft.operators.Similarity
     StreamRunner.runFiles(s,
-        Seq(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1))) {
+        Seq(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1)),
+        cacheKey = cacheKey) {
       df =>
         df.select(col("vec_id"),
           posexplode(Similarity.pqEncode(cents, col("emb"))))
@@ -474,7 +490,7 @@ object StreamOps {
     FROM pa${graft.operators.Similarity.PqIters}"""
 
   /** Hash-bucket count for [[g12]]'s maintained table layout. */
-  private val UpsertBuckets = 16
+  private[graft] val UpsertBuckets = 16
 
   /** g12: STREAMING upsert — the continuous form of batch h6 and the
     * table-maintenance twin of the d9↔g10 / s6↔g11 pairings: the
@@ -505,7 +521,8 @@ object StreamOps {
     try {
       StreamRunner.runForeachFiles(s,
           Seq(delta.filter(col("seq") === 1),
-            delta.filter(col("seq") === 2))) { (batch, _) =>
+            delta.filter(col("seq") === 2)),
+          cacheKey = Some(s"$dir#g12")) { (batch, _) =>
           MaintTimer.timed { droppingBatchCheckpoints(s) {
         val d = batch.localCheckpoint(true)
         val touched = d.select(bucketOf.as("bucket")).distinct()
@@ -561,7 +578,8 @@ object StreamOps {
     val batches = (0 until 8).map(i => ev.filter(pmod($"event_id", lit(8)) === i))
     var appended = 0
     var compactions = 0
-    StreamRunner.runForeachFiles(s, batches) { (batch, _) =>
+    StreamRunner.runForeachFiles(s, batches,
+        cacheKey = Some(s"$dir#g13")) { (batch, _) =>
       val before = parquetFiles(tbl).length
       batch.repartition(8).write.mode("append").parquet(tbl)
       // count what the append actually produced (empty shuffle
@@ -632,7 +650,8 @@ object StreamOps {
     try {
       StreamRunner.runForeachFiles(s,
           Seq(delta.filter(col("seq") === 1),
-            delta.filter(col("seq") === 2))) { (batch, _) =>
+            delta.filter(col("seq") === 2)),
+          cacheKey = Some(s"$dir#g14")) { (batch, _) =>
           MaintTimer.timed { droppingBatchCheckpoints(s) {
         val d = batch.localCheckpoint(true)
         val touched = d.select(bucketOf.as("bucket")).distinct()
@@ -707,7 +726,8 @@ object StreamOps {
     val resDir = s"$out/results"
     StreamRunner.runForeachFiles(s,
         Seq(qs.filter(col("vec_id") % 2 === 0),
-          qs.filter(col("vec_id") % 2 === 1))) { (batch, _) =>
+          qs.filter(col("vec_id") % 2 === 1)),
+        cacheKey = Some(s"$dir#g15")) { (batch, _) =>
       // op vs sim split: the serve body (collect the bounded query set,
       // LUT + ADC scan + re-rank, result write) is the deployed
       // per-query-batch cost; index build + staging stay outside
@@ -750,7 +770,8 @@ object StreamOps {
     val out = StreamRunner.stagingRoot(s, "g16_")
     StreamRunner.runForeachFiles(s,
         Seq(docs.filter($"doc_id" % 2 === 0),
-          docs.filter($"doc_id" % 2 === 1))) { (batch, _) =>
+          docs.filter($"doc_id" % 2 === 1)),
+        cacheKey = Some(s"$dir#g16")) { (batch, _) =>
       // op vs sim split: the stateless per-batch score+write is the
       // steady-state gate cost; gateStats learning + staging are sim
       MaintTimer.timed {
@@ -802,7 +823,7 @@ object StreamOps {
       .select($"etype", lit(-1L).as("h"))
     val emitted = StreamRunner.runFiles(s,
         Seq(ev.filter($"h" % 2 === 0), ev.filter($"h" % 2 === 1),
-          sentinels)) { df =>
+          sentinels), cacheKey = Some(s"$dir#g17")) { df =>
       df.as[KmvEvent].groupByKey(_.etype)
         .flatMapGroupsWithState[KmvState, KmvEmit](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (etype, it, gs) =>
@@ -911,7 +932,8 @@ object StreamOps {
     val ordKey = (hv: Long, v: Long) => (hv, v)
     val emitted = StreamRunner.runFiles(s,
         Seq(agg.filter($"v" % 2 === 0),
-          agg.filter($"v" % 2 =!= 0).unionByName(sentinels))) { df =>
+          agg.filter($"v" % 2 =!= 0).unionByName(sentinels)),
+        cacheKey = Some(s"$dir#g18")) { df =>
       df.as[QskEvent].groupByKey(_.etype)
         .flatMapGroupsWithState[QskState, QskEmit](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (etype, it, gs) =>
@@ -1014,7 +1036,8 @@ object StreamOps {
     val resDir = s"$out/results"
     StreamRunner.runForeachFiles(s,
         Seq(qs.filter(col("vec_id") % 2 === 0),
-          qs.filter(col("vec_id") % 2 === 1))) { (batch, _) =>
+          qs.filter(col("vec_id") % 2 === 1)),
+        cacheKey = Some(s"$dir#g19")) { (batch, _) =>
       // op vs sim split: the serve body is the steady-state cost; the
       // build/persist/reload and query staging stay outside
       MaintTimer.timed {

@@ -83,6 +83,34 @@ object StreamRunner {
     (s"$root/b*", batches.head.schema)
   }
 
+  /** Staged-feed cache: key → (glob, schema) for feeds already written
+    * this JVM. Staging a 1M-event feed costs more than the op it feeds
+    * (round-12 op/sim split: g17 sim 26.3 s vs op 5.2), and the bench
+    * replays every op min-of-K — so a deterministic feed keyed by
+    * (sfDir, op batch-spec) is written ONCE and replayed K times. Keys
+    * must uniquely determine batch CONTENT (callers embed the source dir
+    * and their split spec); cached roots are deleted by
+    * [[clearStagedCache]], not per-run.
+    */
+  private val stagedCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, StructType)]
+
+  private def stageBatchesCached(tag: String, batches: => Seq[DataFrame],
+      key: Option[String]): (String, StructType, Boolean) = key match {
+    case None =>
+      val (g, sc) = stageBatches(tag, batches)
+      (g, sc, false)
+    case Some(k) =>
+      val (g, sc) = stagedCache.getOrElseUpdate(k, stageBatches(tag, batches))
+      (g, sc, true)
+  }
+
+  /** Delete every cached staged feed (bench/gate end-of-run hygiene). */
+  def clearStagedCache(): Unit = {
+    stagedCache.values.foreach { case (glob, _) => removeStaged(glob) }
+    stagedCache.clear()
+  }
+
   /** Resolve a fresh directory for staged batches or batch-fed sinks:
     * under `spark.graft.stagingDir` when set (a shared mount /
     * distributed-FS path on a real cluster, so executors' writes are
@@ -120,10 +148,11 @@ object StreamRunner {
     * production deployment points the same builder at a Kafka topic or
     * file drop; see sources/TxnLog.scala for the mapping).
     */
-  def runFiles(spark: SparkSession, batches: Seq[DataFrame],
-      outputMode: String = "append")(build: DataFrame => DataFrame)
-      : DataFrame = {
-    val (glob, schema) = stageBatches("gstream_", batches)
+  def runFiles(spark: SparkSession, batches: => Seq[DataFrame],
+      outputMode: String = "append", cacheKey: Option[String] = None)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val (glob, schema, cached) =
+      stageBatchesCached("gstream_", batches, cacheKey)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(glob)
     val name = s"graft_stream_${n.incrementAndGet()}"
@@ -134,25 +163,30 @@ object StreamRunner {
     // SIMULATION. foreachBatch variants self-time their op bodies
     // instead, so this must not also wrap runForeachFiles.
     try StreamOps.MaintTimer.timed(q.processAllAvailable())
-    finally { q.stop(); removeStaged(glob) }
+    finally { q.stop(); if (!cached) removeStaged(glob) }
     spark.table(name)
   }
 
   /** Two-source file-fed variant (stream-stream joins): each source
     * replays its own staged batch sequence, one file per trigger.
     */
-  def run2Files(spark: SparkSession, aBatches: Seq[DataFrame],
-      bBatches: Seq[DataFrame], outputMode: String = "append")(
+  def run2Files(spark: SparkSession, aBatches: => Seq[DataFrame],
+      bBatches: => Seq[DataFrame], outputMode: String = "append",
+      cacheKey: Option[String] = None)(
       build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val (aGlob, aSchema) = stageBatches("gstreamA_", aBatches)
-    val (bGlob, bSchema) = stageBatches("gstreamB_", bBatches)
+    val (aGlob, aSchema, aCached) =
+      stageBatchesCached("gstreamA_", aBatches, cacheKey.map(_ + "#A"))
+    val (bGlob, bSchema, bCached) =
+      stageBatchesCached("gstreamB_", bBatches, cacheKey.map(_ + "#B"))
     def src(glob: String, schema: StructType) = spark.readStream
       .schema(schema).option("maxFilesPerTrigger", 1).parquet(glob)
     val name = s"graft_stream_${n.incrementAndGet()}"
     val q = build(src(aGlob, aSchema), src(bGlob, bSchema)).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally {
-      q.stop(); removeStaged(aGlob); removeStaged(bGlob)
+      q.stop()
+      if (!aCached) removeStaged(aGlob)
+      if (!bCached) removeStaged(bGlob)
     }
     spark.table(name)
   }
@@ -161,13 +195,16 @@ object StreamRunner {
     * per micro-batch, into `f` — the [[runForeach]] shape without the
     * driver ever holding a batch.
     */
-  def runForeachFiles(spark: SparkSession, batches: Seq[DataFrame])(
+  def runForeachFiles(spark: SparkSession, batches: => Seq[DataFrame],
+      cacheKey: Option[String] = None)(
       f: (DataFrame, Long) => Unit): Unit = {
-    val (glob, schema) = stageBatches("gforeach_", batches)
+    val (glob, schema, cached) =
+      stageBatchesCached("gforeach_", batches, cacheKey)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(glob)
       .writeStream.foreachBatch(f).start()
-    try q.processAllAvailable() finally { q.stop(); removeStaged(glob) }
+    try q.processAllAvailable()
+    finally { q.stop(); if (!cached) removeStaged(glob) }
   }
 
   /** Two-source variant (stream-stream joins): batches are fed pairwise. */
