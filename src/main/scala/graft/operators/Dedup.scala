@@ -1004,34 +1004,49 @@ object Dedup {
     */
   def d14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    // per-branch gram streams: each side tokenizes ONLY its own doc
+    // subset (train 90%, test 10%), so the two branches together cost
+    // one corpus tokenize pass with NO materialized gram table — the
+    // r12 shape checkpointed a full-corpus (doc_id, mh, c) groupBy
+    // (~4 GB at sf10) that only the test side's counts actually needed
+    // (the t21 recompute-beats-materialize lesson applied here).
+    // digests travel as 16-byte BINARY (`unhex(md5)`) — half the hex
+    // form's shuffle/checkpoint bytes for the same oracle arithmetic
+    // (8 hex chars = 4 digest bytes, big-endian)
+    def shOf(docsFilter: Column): DataFrame = Tables.documents(s, dir)
+      .filter(docsFilter)
       .withColumn("toks", Text.tokens($"text"))
       .select($"doc_id", explode(Text.shingles($"toks", 5)).as("sh"))
-      .select($"doc_id", md5($"sh").as("mh"))
-    // one row per distinct gram per doc side, occurrence count carried
-    val grams = sh.groupBy($"doc_id", $"mh")
-      .agg(count(lit(1)).cast("long").as("c"))
+      .select($"doc_id", unhex(md5($"sh")).as("mh"))
+    // the train grams, materialized ONCE as the narrow mh column (the
+    // only train data any consumer needs): fed to (a) the bitset build —
+    // ONE BloomBuildAgg pass whose exchange is a 128 KiB buffer per
+    // task, collected as a single row — and (b) the exact-containment
+    // semi join. No per-doc grouping, no distinct: LEFT SEMI dedups the
+    // build side inherently.
+    val trainMh = shOf($"doc_id" % 10 =!= 0).select($"mh")
       .localCheckpoint(true)
-    def posCols(mh: Column): Seq[Column] = (0 until BloomK).map(j =>
-      conv(substring(mh, 8 * j + 1, 8), 16, 10).cast("long") % BloomBits)
-    // the filter: distinct set positions over the train split's grams,
-    // collected to the driver (≤2^20 longs = 8 MB worst case) and baked
-    // into the native probe's bitset
-    val positions: Array[Long] = grams.filter($"doc_id" % 10 =!= 0)
-      .select(explode(array(posCols($"mh"): _*)).as("pos")).distinct()
-      .as[Long].collect()
-    val trainSet = grams.filter($"doc_id" % 10 =!= 0)
-      .select($"mh").distinct().withColumn("intrain", lit(1))
-    val test = grams.filter($"doc_id" % 10 === 0)
-    val probed = test
-      .withColumn("maybe", BloomProbe(positions, BloomK, BloomBits, $"mh"))
-      .join(trainSet, Seq("mh"), "left_outer")
+    val words: Array[Long] = trainMh
+      .agg(graft.functions.BloomBuildAgg($"mh", BloomK, BloomBits).as("w"))
+      .head().getSeq[Long](0).toArray
+    // test occurrences (10% of the corpus) with the native probe — the
+    // per-doc totals never join anything, and the exact check both
+    // PRE-FILTERS on the probe (sound: a Bloom filter has no false
+    // negatives, so exact ⊆ maybe) and uses LEFT SEMI, so the only
+    // data-sized exchange left on this path is the semi join itself.
+    def base = shOf($"doc_id" % 10 === 0)
+      .withColumn("maybe",
+        BloomProbe.fromWords(words, BloomK, BloomBits, $"mh"))
+    val totals = base.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when($"maybe", 1L).otherwise(0L)).as("bloom_hits"))
+    val exact = base.filter($"maybe")
+      .join(trainMh, Seq("mh"), "left_semi")
       .groupBy($"doc_id")
-      .agg(sum($"c").as("n_grams"),
-        sum(when($"maybe", $"c").otherwise(0L)).as("bloom_hits"),
-        sum(when($"intrain".isNotNull, $"c").otherwise(0L)).as("exact_hits"))
+      .agg(count(lit(1)).cast("long").as("exact_hits"))
     Tables.documents(s, dir).filter($"doc_id" % 10 === 0).select($"doc_id")
-      .join(probed, Seq("doc_id"), "left_outer")
+      .join(totals, Seq("doc_id"), "left_outer")
+      .join(exact, Seq("doc_id"), "left_outer")
       .select($"doc_id",
         coalesce($"n_grams", lit(0L)).cast("long").as("n_grams"),
         coalesce($"bloom_hits", lit(0L)).cast("long").as("bloom_hits"),
