@@ -21,6 +21,10 @@ object G8StateProbe {
     val dir = args.headOption.getOrElse("/root/repo/sf1data")
     val s = GraftSession.get("local[32]")
 
+    // peak state across a run's triggers (the final empty trigger can
+    // report 0 rows - the max is the state the store actually carried)
+    val maxRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxMem = new java.util.concurrent.atomic.AtomicLong(0)
     val lastState = new AtomicReference[String]("")
     s.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
@@ -29,8 +33,10 @@ object G8StateProbe {
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val ops = e.progress.stateOperators
         if (ops.nonEmpty) {
-          val o = ops.head
-          lastState.set(s"rows=${o.numRowsTotal} mem=${o.memoryUsedBytes}")
+          maxRows.getAndUpdate(m => math.max(m, ops.map(_.numRowsTotal).sum))
+          maxMem.getAndUpdate(m => math.max(m, ops.map(_.memoryUsedBytes).sum))
+          lastState.set(
+            s"rows=${maxRows.get} mem=${maxMem.get}")
         }
       }
       override def onQueryTerminated(
@@ -53,6 +59,7 @@ object G8StateProbe {
             .format("noop").mode("overwrite").save(); () }
         }
         run() // warm (staged feed is cached after the first run)
+        maxRows.set(0); maxMem.set(0)
         val t = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           run()

@@ -80,20 +80,20 @@ object GIngestSkewProbe {
       .withColumn("text",
         when($"doc_id" % 10 === 0, lit(hotText)).otherwise($"text"))
       .localCheckpoint(true)
-    skewedBatch.count()
+    val hotRows = skewedBatch.filter($"text" === hotText).count()
 
     g10Body(uniformBatch) // warm
     val tU = minOf3(g10Body(uniformBatch))
     val (cU, _) = g10Body(uniformBatch)
     val tS = minOf3(g10Body(skewedBatch))
     val (cS, mS) = g10Body(skewedBatch)
-    println(f"[gskew] g10 batch=$nBatch uniform: $tU%.2f s, $cU candidates")
+    println(f"[gskew] g10 batch=$nBatch hotRows=$hotRows uniform: $tU%.2f s, $cU candidates")
     println(f"[gskew] g10 skewed:  $tS%.2f s, $cS candidates, $mS matches")
-    // linearity: the hot rows are ~nBatch/10 and each pairs with ONE
-    // corpus doc, so candidates stay O(batch) — a quadratic blowup would
-    // put cS near (nBatch/10)^2
-    require(cS <= cU + nBatch / 10 + 100,
-      s"hot-band candidates must stay linear in the batch: $cS")
+    // linearity: each hot row pairs with the ONE corpus doc sharing its
+    // bands (plus stray band collisions), so candidates stay O(hot rows)
+    // — a quadratic blowup would put cS near hotRows^2
+    require(cS <= cU + 4 * hotRows + 100,
+      s"hot-band candidates must stay linear in the batch: $cS vs $hotRows hot rows")
 
     // ---- g12: partitioned upsert under a hot bucket ----
     val bucketOf = pmod($"o_orderkey", lit(streaming.StreamOps.UpsertBuckets))
