@@ -34,7 +34,13 @@ object GraftSession {
       .withExtensions(new functions.GraftExtensions)
       .master(master)
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", "32")
+      // 32 (one per core) is right for the gate/test SFs where the
+      // per-task floor dominates; at decade-up dev SFs set
+      // SPARK_GRAFT_SHUFFLE so a shuffle partition stays ≲256 MB — the
+      // sf100 probe measured t14 3.6× superlinear at 32 partitions
+      // (1 GB+ sorts spilling per task) and linear again at 128
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

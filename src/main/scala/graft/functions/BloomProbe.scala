@@ -91,6 +91,10 @@ case class BloomProbe(child: Expression, words: Array[Long], k: Int,
     ok
   }
 
+  // NB: generated lines must never START with '|' — the codegen Block
+  // pipeline strips margins, deleting the operator and producing
+  // unparseable Java (the whole stage then silently falls back to
+  // interpreted eval).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("bloomWords", words, "long[]")
     nullSafeCodeGen(ctx, ev, a => {
@@ -122,8 +126,10 @@ case class BloomProbe(child: Expression, words: Array[Long], k: Int,
         } else {
           boolean $ok = true;
           for (int $j = 0; $ok && $j < $k; $j++) {
-            long $p = (($a[4 * $j] & 0xffL) << 24) | (($a[4 * $j + 1] & 0xffL) << 16)
-              | (($a[4 * $j + 2] & 0xffL) << 8) | ($a[4 * $j + 3] & 0xffL);
+            long $p = 0L;
+            for (int $h = 0; $h < 4; $h++) {
+              $p = ($p << 8) | ($a[4 * $j + $h] & 0xffL);
+            }
             int $idx = (int) ($p & ${mask}L);
             $ok = ($w[$idx >>> 6] & (1L << ($idx & 63))) != 0L;
           }

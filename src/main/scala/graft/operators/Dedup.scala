@@ -696,10 +696,11 @@ object Dedup {
     // |batch|-independent verify cost the scaladoc promises)
     val needed = cand.select($"a_id".as("doc_id"))
       .union(cand.select($"b_id".as("doc_id"))).distinct()
-    val sh = docs.join(graft.plans.Hints.maybeBroadcast(needed), "doc_id")
-      .withColumn("toks", Text.tokens($"text"))
-      .select($"doc_id", array_distinct(Text.shingles($"toks")).as("shingles"))
-      .localCheckpoint(false)
+    val sh = graft.plans.Materialize.wideCheckpoint(
+      docs.join(graft.plans.Hints.maybeBroadcast(needed), "doc_id")
+        .withColumn("toks", Text.tokens($"text"))
+        .select($"doc_id",
+          array_distinct(Text.shingles($"toks")).as("shingles")))
     val scored = cand
       .join(sh.toDF("a_id", "a_sh"), "a_id")
       .join(sh.toDF("b_id", "b_sh"), "b_id")

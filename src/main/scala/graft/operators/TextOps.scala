@@ -488,8 +488,8 @@ object TextOps {
   private[graft] def gateScore(batch: DataFrame, tokFreq: DataFrame,
       bgFreq: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
-    val b = withToks(batch).select($"doc_id", $"text", $"toks")
-      .localCheckpoint(false)
+    val b = graft.plans.Materialize.wideCheckpoint(
+      withToks(batch).select($"doc_id", $"text", $"toks"))
     val q12 = b
       .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 1)).as("w"))
       .join(tokFreq, "w")
@@ -526,9 +526,9 @@ object TextOps {
     import s.implicits._
     // ONE tokenize scan feeds all four signals (lazy checkpoint — the
     // corpus is read and tokenized once, not once per rule)
-    val base = withToks(Tables.documents(s, dir))
-      .select($"doc_id", $"text", $"toks")
-      .localCheckpoint(false)
+    val base = graft.plans.Materialize.wideCheckpoint(
+      withToks(Tables.documents(s, dir))
+        .select($"doc_id", $"text", $"toks"))
     t2Of(base).select($"doc_id", $"quality")
       .join(t10Of(base).select($"doc_id", $"rep_ratio"), "doc_id")
       .join(t12Of(base).select($"doc_id", $"rare_frac"), "doc_id")

@@ -44,4 +44,22 @@ object Materialize {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
+
+  /** Checkpoint for WIDE payloads (text + token/shingle arrays) at
+    * serialized storage. The default localCheckpoint level
+    * (MEMORY_AND_DISK, deserialized) is a decade-up OOM hazard for wide
+    * rows: once a block spills, `BlockManager.getLocalValues` re-reads
+    * it through Java deserialization and `maybeCacheDiskValuesInMemory`
+    * unrolls the ENTIRE partition back into an in-heap object array —
+    * measured at sf100 (round 13): t14's (doc_id, text, toks) checkpoint
+    * over 5M documents OOM'd a 64 GB heap with 32 tasks re-inflating
+    * spilled partitions concurrently (SparkExitCode 52 mid-bench).
+    * MEMORY_AND_DISK_SER stores the bytes and ITERATES on read — no
+    * whole-partition re-inflation path exists. Narrow checkpoints
+    * (band rows, digests, codebooks) stay on the default level: they
+    * are cheaper to re-read deserialized and cannot inflate.
+    */
+  def wideCheckpoint(df: DataFrame, eager: Boolean = false): DataFrame =
+    df.localCheckpoint(eager,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 }
