@@ -57,7 +57,15 @@ object Bench {
     // data-proportional work instead of 16 one-off Janino compiles
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    if (new java.io.File(warmDir).isDirectory) headliners.foreach { name =>
+    // SPARK_GRAFT_SECTIONS picks which report sections run (default all).
+    // Decade-up probe runs use this to split one giant JVM lifetime into
+    // per-section processes: at sf100 the full ~85-query pass accumulates
+    // enough page-cache + heap pressure that late sections measure the
+    // early ones' GC, not their own plans.
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
+      "headliners,extras,txn,ann,probes").split(",").map(_.trim).toSet
+    if (sections("headliners") &&
+        new java.io.File(warmDir).isDirectory) headliners.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         // NonFatal only: a systematically broken headliner must be visible
         // (a silent warm-up failure would make the timed run measure cold
@@ -86,7 +94,8 @@ object Bench {
     // for itself DURING its reps are untouched.
     def dropCachedBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    val results = headliners.flatMap { name =>
+    val results = (if (sections("headliners")) headliners
+                   else Seq.empty[String]).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -137,7 +146,8 @@ object Bench {
       "q58_or_chain_revenue", "q23_approx_distinct", "q27_approx_quantile",
       "g17_stream_kmv_distinct", "q59_quantile_sketch", "g18_stream_quantile",
       "t23_heavy_hitters", "s9_ivfpq_persist", "g19_stream_ivfpq_serve")
-    if (new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
+    if (sections("extras") &&
+        new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -158,7 +168,8 @@ object Bench {
       "g16_stream_quality_gate", "g17_stream_kmv_distinct",
       "g18_stream_quantile", "g19_stream_ivfpq_serve")
     val maintSplit = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    val extraResults = extraNames.flatMap { name =>
+    val extraResults = (if (sections("extras")) extraNames
+                        else Seq.empty[String]).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
           if (maintNames(name)) streaming.StreamOps.MaintTimer.reset()
@@ -195,7 +206,7 @@ object Bench {
     // whose wall time is the sequential-fold floor a pathological
     // micro-batch pays (the generational fallback's per-barrier cost is
     // spec-tracked, not benched: it only runs past the component cap)
-    val txnStats = {
+    val txnStats = if (!sections("txn")) "" else {
       import spark.implicits._
       val wl = operators.TxnQueries.multiKeyWorkloadDS(spark, sfDir)
       val empty = Seq.empty[(String, String)].toDF("key", "value")
@@ -227,6 +238,7 @@ object Bench {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = if (!sections("ann")) "{}" else {
     val truth = pairs(operators.Similarity.s1(spark, sfDir))
     // s6/g11 index-build vs steady-state split: the codebook (~16 KiB)
     // AND the encoded code table are one-time build artifacts — the code
@@ -287,7 +299,7 @@ object Bench {
     // them so the scale probes below don't pay their memory pressure
     // (measured: d5's candidate-join probe ran 4× slower with them live)
     dropCachedBlocks()
-    val ann = Seq(
+    Seq(
       ("s2", pairs(operators.Similarity.s2(spark, sfDir)),
         operators.Similarity.s2Scored(spark, sfDir).count()),
       ("s3", pairs(operators.Similarity.s3(spark, sfDir)),
@@ -304,12 +316,14 @@ object Bench {
       f""""s8_build_s":$s8BuildSec%.3f,"s8_query_s":$s8QuerySec%.3f,""" +
       f""""s9_persist_s":$s9PersistSec%.3f,"s9_serve_s":$s9ServeSec%.3f,""" +
       f""""g11_encode_s":$g11EncodeSec%.3f}"""
+    }
     // scale probes: candidate-generation selectivity AND wall-time on
     // synthetic corpora big enough that a quadratic shape would show
     // (5.1k docs / 50.5k vectors — the ScaleProbeSpec corpora). Signature
     // and bucket stages are materialized first so the timed section is
     // the candidate join itself.
-    val probes = if (sys.env.getOrElse("SPARK_GRAFT_PROBES", "true") == "true") {
+    val probes = if (sections("probes") &&
+        sys.env.getOrElse("SPARK_GRAFT_PROBES", "true") == "true") {
       def timed(body: => Long): (Long, Double) = {
         val t0 = System.nanoTime()
         val r = body
