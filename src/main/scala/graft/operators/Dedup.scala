@@ -366,13 +366,42 @@ object Dedup {
   private[operators] def d5ScoredPairsOf(emb: DataFrame, planes: Int): DataFrame = {
     import emb.sparkSession.implicits._
     val e = d5BucketsOf(emb, planes)
-    val cand = d5CandidatesOf(e, planes)
-    val v = e.select($"vec_id", $"embedding")
-    cand
-      .join(v.toDF("a_id", "a_emb"), "a_id")
-      .join(v.toDF("b_id", "b_emb"), "b_id")
-      .withColumn("cos", round(Vec.cosineFast($"a_emb", $"b_emb"), 6))
-      .select($"a_id", $"b_id", $"cos")
+    // Same-bucket pairs are scored INSIDE the bucket self-join: each
+    // side shuffles N (vec_id, bucket, embedding) rows — ~1 GB at sf100
+    // — and the cosine is a projection on the join output, so no
+    // pair-sized row ever carries an embedding. The previous form
+    // generated narrow pairs first and joined embeddings back per pair:
+    // on replica-clustered corpora the pair set is answer-quadratic
+    // (521M at sf100) and the second fetch join shuffled ~500 GB of
+    // embedding payload — past the box's disk. Near pairs (Hamming 1–2,
+    // the small class) still fetch by id.
+    val sb = e.select($"vec_id", $"bucket", $"embedding")
+    val same = sb.toDF("a_id", "bkt", "a_emb")
+      .join(sb.toDF("b_id", "bkt2", "b_emb"),
+        $"bkt" === $"bkt2" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        round(Vec.cosineFast($"a_emb", $"b_emb"), 6).as("cos"))
+    // Near pairs (Hamming 1–2) score inline at the probe join as well:
+    // the embedding rides the ×(planes+1) probe explode — bounded at
+    // (planes+1)·N rows per side, ~13 GB at sf100 — and the join output
+    // is already the narrow (a_id, b_id, cos) row. The id-fetch
+    // alternative attaches embeddings to PAIR-cardinality rows, and on
+    // replica-clustered corpora the near class is the dominant one
+    // (518M of sf100's 521M candidates: the salt mutations flip 1–2
+    // sign bits), so the fetch join shuffled ~270 GB and died on disk.
+    // SHUFFLE_HASH keeps the two probe-sized sides from being sorted.
+    val masks = (0 +: (0 until planes).map(1 << _)).map(lit)
+    val probes = e.select($"vec_id", $"bucket", $"embedding",
+        posexplode(array(masks.map($"bucket".bitwiseXOR(_)): _*)))
+      .toDF("vec_id", "bkt", "emb", "mi", "probe")
+    val nearScored = probes.toDF("a_id", "bkt", "a_emb", "mi", "probe")
+      .hint("shuffle_hash")
+      .join(probes.toDF("b_id", "bkt2", "b_emb", "mj", "probe2"),
+        $"probe" === $"probe2" && $"bkt" =!= $"bkt2" &&
+          $"a_id" < $"b_id" && $"mi" < $"mj")
+      .select($"a_id", $"b_id",
+        round(Vec.cosineFast($"a_emb", $"b_emb"), 6).as("cos"))
+    same.unionByName(nearScored)
   }
 
   /** Distinct bucket-Hamming<=2 candidate pairs over a MATERIALIZED
@@ -381,13 +410,48 @@ object Dedup {
     */
   def d5CandidatesOf(e: DataFrame, planes: Int): DataFrame = {
     import e.sparkSession.implicits._
+    // Hamming-0 (same bucket) pairs via DIRECT bucket equality — one
+    // emission per pair. The previous form ran one {0,bit}×{0,bit}
+    // probe join for all distances, which emits every same-bucket pair
+    // planes+1 times into the distinct (masks match whenever m1 = m2);
+    // same-bucket pairs are the dominant class on replica-clustered
+    // corpora, and at sf100 (2M vectors, ~2000-strong clusters) the
+    // distinct's input was ~11G rows — 22× the answer — which overflowed
+    // the box's disk. Split by distance, each pair is emitted once
+    // (d=0) or twice (d∈{1,2}: (0,e_d)/(e_d,0) or (e_i,e_j)/(e_j,e_i)),
+    // the two branches are disjoint by the bucket-inequality guard, and
+    // the result set is bit-identical to the old join.
+    val b = e.select($"vec_id", $"bucket")
+    val same = b.toDF("a_id", "bkt").join(b.toDF("b_id", "bkt2"),
+        $"bkt" === $"bkt2" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+    same.unionByName(nearCandidatesOf(e, planes))
+  }
+
+  /** The Hamming-1/2 slice of [[d5CandidatesOf]] (bucket-inequality
+    * guard excludes same-bucket pairs), emitted EXACTLY ONCE per pair —
+    * no distinct. A Hamming-d pair matches under exactly two mask
+    * combos ((0,e_d)/(e_d,0) for d=1, (e_i,e_j)/(e_j,e_i) for d=2), so
+    * carrying the mask ordinal and requiring mi < mj keeps one of the
+    * two. The previous distinct() shuffled the full pre-dedup pair
+    * stream on UNIQUE keys — no map-side collapse possible, ~800M rows
+    * at sf100, and its sort-fallback spill was what still overflowed
+    * the box's disk after the same-bucket fix. Shared by the
+    * scored-pair generator, which scores this class by id-fetch while
+    * same-bucket pairs score inside the bucket join.
+    */
+  private[graft] def nearCandidatesOf(e: DataFrame, planes: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val masks = (0 +: (0 until planes).map(1 << _)).map(lit)
-    val probes = e.select($"vec_id",
-      explode(array(masks.map($"bucket".bitwiseXOR(_)): _*)).as("probe"))
-    val a = probes.toDF("a_id", "probe")
-    val b = probes.toDF("b_id", "probe2")
-    a.join(b, $"probe" === $"probe2" && $"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
+    val probes = e.select($"vec_id", $"bucket",
+      posexplode(array(masks.map($"bucket".bitwiseXOR(_)): _*)))
+      .toDF("vec_id", "bkt", "mi", "probe")
+    val a = probes.toDF("a_id", "bkt", "mi", "probe")
+    val c = probes.toDF("b_id", "bkt2", "mj", "probe2")
+    a.join(c,
+        $"probe" === $"probe2" && $"bkt" =!= $"bkt2" &&
+          $"a_id" < $"b_id" && $"mi" < $"mj")
+      .select($"a_id", $"b_id")
   }
 
   /** Thresholded near-dup pairs over the shared bucket-gated scored-pair
@@ -619,12 +683,14 @@ object Dedup {
     // the overlap join — materialize it once, lazily: an eager checkpoint
     // would run the full shingle scan at plan-construction time (schema
     // checks, dry runs), so defer it to the first real action
-    val grams = Tables.documents(s, dir)
-      .withColumn("toks", Text.tokens($"text"))
-      .select($"doc_id",
-        explode(array_distinct(Text.shingles($"toks", 5))).as("g"))
-      .select($"doc_id", md5($"g").as("gh"))
-      .localCheckpoint(false)
+    // per-shingle rows (~1 per token at sf100) — serialized storage,
+    // the d13/t14 re-inflation class
+    val grams = graft.plans.Materialize.wideCheckpoint(
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens($"text"))
+        .select($"doc_id",
+          explode(array_distinct(Text.shingles($"toks", 5))).as("g"))
+        .select($"doc_id", md5($"g").as("gh")))
     val evalSet = grams.filter($"doc_id" < EvalDocs)
       .select($"gh").distinct()
     val overlap = grams.filter($"doc_id" >= EvalDocs)
@@ -807,20 +873,22 @@ object Dedup {
     import s.implicits._
     val boiler = d7(s, dir).select($"seg_md5")
     val nseg = (size($"toks") / lit(SegTokens)).cast("int")
-    val base = Tables.documents(s, dir)
-      .withColumn("toks", Text.tokens($"text"))
-      .select($"doc_id", nseg.as("nseg"), size($"toks").as("ntok"),
-        when(nseg > 0, transform(sequence(lit(0), nseg - 1),
-            i => struct(i.as("i"), concat_ws(" ",
-              slice($"toks", i * SegTokens + 1, lit(SegTokens))).as("seg"))))
-          .otherwise(array().cast("array<struct<i:int,seg:string>>"))
-          .as("segs"),
-        concat_ws(" ",
-          slice($"toks", nseg * SegTokens + 1,
-            size($"toks") - nseg * SegTokens)).as("tail"))
+    // segment STRINGS ride this checkpoint — serialized storage (the
+    // d13/t14 re-inflation class)
+    val base = graft.plans.Materialize.wideCheckpoint(
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens($"text"))
+        .select($"doc_id", nseg.as("nseg"), size($"toks").as("ntok"),
+          when(nseg > 0, transform(sequence(lit(0), nseg - 1),
+              i => struct(i.as("i"), concat_ws(" ",
+                slice($"toks", i * SegTokens + 1, lit(SegTokens))).as("seg"))))
+            .otherwise(array().cast("array<struct<i:int,seg:string>>"))
+            .as("segs"),
+          concat_ws(" ",
+            slice($"toks", nseg * SegTokens + 1,
+              size($"toks") - nseg * SegTokens)).as("tail")))
       // the tokenize+segment scan feeds both the explode and the final
       // re-assembly join — one corpus read, materialized lazily
-      .localCheckpoint(false)
     val kept = base
       .select($"doc_id", explode($"segs").as("s"))
       .select($"doc_id", $"s.i".as("i"), $"s.seg".as("seg"))
@@ -903,15 +971,19 @@ object Dedup {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val k = SegTokens
-    val base = Tables.documents(s, dir)
-      .withColumn("toks", Text.tokens($"text"))
-      .select($"doc_id", size($"toks").cast("long").as("ntok"),
-        graft.functions.WindowPolyHash($"toks", k).as("whs"))
+    // both checkpoints carry per-token payloads (whs arrays / exploded
+    // windows — ~1G rows at sf100), so they store SERIALIZED: the
+    // deserialized default OOM'd an 80 GB heap at sf100 re-inflating
+    // spilled partitions (the t14 class, next instance one decade up)
+    val base = graft.plans.Materialize.wideCheckpoint(
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens($"text"))
+        .select($"doc_id", size($"toks").cast("long").as("ntok"),
+          graft.functions.WindowPolyHash($"toks", k).as("whs")))
       // feeds the window explode AND the final per-doc join — one scan
-      .localCheckpoint(false)
-    val wins = base.select($"doc_id", posexplode($"whs"))
-      .toDF("doc_id", "p", "wh")
-      .localCheckpoint(false)
+    val wins = graft.plans.Materialize.wideCheckpoint(
+      base.select($"doc_id", posexplode($"whs"))
+        .toDF("doc_id", "p", "wh"))
     val dupHash = wins.groupBy($"wh")
       .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"wh")
     val w = Window.partitionBy($"doc_id").orderBy($"p")

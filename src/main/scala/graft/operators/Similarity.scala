@@ -694,16 +694,39 @@ object Similarity {
   def s4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = Tables.embeddings(s, dir)
-    val scored = Dedup
-      .d5ScoredPairsOf(e0, Dedup.d5Planes(e0.count()))
-      .localCheckpoint(true)
-    val sym = scored.union(
-      scored.select($"b_id", $"a_id", $"cos").toDF("a_id", "b_id", "cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"a_id").orderBy($"cos".desc, $"b_id")
-    val best = sym.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"a_id".as("vec_id"), $"b_id".as("nn_id"), $"cos".as("nn_cos"))
+    val scored = Dedup.d5ScoredPairsOf(e0, Dedup.d5Planes(e0.count()))
+    // Top-1 per vector WITHOUT materializing the pair set: both
+    // orientations are emitted in one pass over the scored pairs, and a
+    // hash aggregation with map-side partial combine picks the max of
+    // (cos, -nn_id) — i.e. best cosine, ties to the lowest id, the same
+    // row the previous window/rank form kept. The previous shape
+    // (eager checkpoint of ALL scored pairs + union + window sort)
+    // wrote the answer-sized pair set to disk and sorted it again: on
+    // replica-clustered corpora the pair set is quadratic in cluster
+    // multiplicity, and at sf100 (2M vectors) the checkpoint+sort
+    // spilled past 59 GB of free disk before dying. The aggregation
+    // shuffles at most one partial row per (vec_id, partition) — O(N),
+    // never O(pairs) — and nothing is checkpointed.
+    // the (cos, tie-break lowest id) argmax is packed into ONE long —
+    // ticks(cos)·2^42 + (2^42−1−nn_id) — because max over a STRUCT has
+    // no mutable agg buffer and silently demotes the whole aggregation
+    // to SortAggregate: the partial combine disappears and the exploded
+    // pair stream (1G rows at sf100) gets SORTED, ~55 GB of spill. With
+    // two primitive maxes the plan is a HashAggregate with map-side
+    // combine — at most one partial row per (vec_id, partition) ever
+    // shuffles. cos is already rounded to 6 decimals, so ticks = cos·1e6
+    // rounded is injective and order-preserving; ids stay below 2^42.
+    val idM = (1L << 42) - 1
+    val sym = scored.select(explode(array(
+        struct($"a_id".as("vec_id"), $"b_id".as("nn_id"), $"cos"),
+        struct($"b_id".as("vec_id"), $"a_id".as("nn_id"), $"cos"))).as("pr"))
+      .select($"pr.vec_id", $"pr.cos",
+        (round($"pr.cos" * 1e6).cast("long") * lit(idM + 1) +
+          (lit(idM) - $"pr.nn_id")).as("k"))
+    val best = sym.groupBy($"vec_id")
+      .agg(max($"cos").as("nn_cos"), max($"k").as("k"))
+      .select($"vec_id",
+        (lit(idM) - $"k".bitwiseAND(lit(idM))).as("nn_id"), $"nn_cos")
     e0.select($"vec_id").join(best, Seq("vec_id"), "left_outer")
   }
 

@@ -373,9 +373,9 @@ object TextOps {
     */
   private def t12Of(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs
-      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 1)).as("w"))
-      .localCheckpoint(false)
+    // per-token rows — serialized storage (the d13/t14 re-inflation class)
+    val toks = graft.plans.Materialize.wideCheckpoint(docs
+      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 1)).as("w")))
     val freq = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
     toks.join(freq, "w")
       .groupBy($"doc_id")
@@ -413,9 +413,9 @@ object TextOps {
     // bigram key = 62-bit packed window hash (k=2), native codegen — the
     // corpus explode/groupBy/join ship longs, not bigram strings, and the
     // interpreted element_at+concat HOF is gone; oracle replays it
-    val bg = docs
-      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 2)).as("bg"))
-      .localCheckpoint(false)
+    // per-bigram rows — serialized storage (the d13/t14 re-inflation class)
+    val bg = graft.plans.Materialize.wideCheckpoint(docs
+      .select($"doc_id", explode(graft.functions.WindowPolyHash($"toks", 2)).as("bg")))
     val freq = bg.groupBy($"bg").agg(count(lit(1)).as("cnt"))
     val perDoc = bg.join(freq, "bg")
       .groupBy($"doc_id")
