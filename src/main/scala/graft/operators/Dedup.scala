@@ -363,7 +363,7 @@ object Dedup {
     * Spark twin of [[d5ScoredPairsSql]], shared by [[d5Of]] and
     * [[Similarity.s4]]'s kNN join.
     */
-  private[operators] def d5ScoredPairsOf(emb: DataFrame, planes: Int): DataFrame = {
+  private[graft] def d5ScoredPairsOf(emb: DataFrame, planes: Int): DataFrame = {
     import emb.sparkSession.implicits._
     val e = d5BucketsOf(emb, planes)
     // Same-bucket pairs are scored INSIDE the bucket self-join: each
