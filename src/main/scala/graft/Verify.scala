@@ -25,12 +25,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val guard = scala.collection.mutable.TreeMap.empty[String, Seq[String]]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir).coalesce(1)
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        // post-execution plan audit (AQE tree is final here): the
+        // silently-serialized-work detectors — see PlanAudit's scaladoc.
+        // Violations are RECORDED, not fatal: PlanGuardSpec owns the
+        // allowlist; the gate's job is to surface every instance.
+        val vs = org.apache.spark.sql.graft.PlanAudit.audit(df)
+        if (vs.nonEmpty) {
+          guard(name) = vs.map(_.toString)
+          vs.foreach(v => System.err.println(s"[guard] $name $v"))
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -49,6 +60,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val guardJson = guard
+      .map { case (k, vs) => s"${q(k)}: ${vs.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/plan_guard.json"), guardJson)
     streaming.StreamRunner.clearStagedCache()
     spark.stop()
   }

@@ -144,9 +144,15 @@ object TxnQueries {
         txns.filter($"txnId" >= mid).toDF())) { df =>
       TxnEngine.streamResults(df.as[SkTxn], Conditional).toDF()
     }
-    emitted.groupBy($"key")
-      .agg(max_by($"valueAfter", $"txnId").as("value"))
-      .select($"key", $"value")
+    // last-writer-wins via hash-aggregable max(txnId) + a 1:1 join-back
+    // on (key, txnId) — max_by over the string valueAfter demotes to
+    // SortAggregateExec (immutable agg buffer; PlanAudit `sort-agg`).
+    // The checkpoint turns the MemorySink view into a LogicalRDD so the
+    // self-join's attribute ids dedup (MemoryPlan has no newInstance).
+    val e = emitted.localCheckpoint(true)
+    val last = e.groupBy($"key").agg(max($"txnId").as("txnId"))
+    e.join(last, Seq("key", "txnId"))
+      .select($"key", $"valueAfter".as("value"))
   }
 
   val a5Sql: String = a3Sql
@@ -332,10 +338,11 @@ object TxnQueries {
     }
     writePart(1, $"txnId" < mid); run() // first half of the log
     writePart(2, $"txnId" >= mid); run() // restart from the checkpoint
-    s.read.parquet(out).groupBy($"key")
-      .agg(max_by($"valueAfter", $"txnId").as("value"),
-        max($"txnId").as("last_txn_id"))
-      .select($"key", $"value", $"last_txn_id")
+    // a5's hash-agg + join-back shape (max_by would sort-agg demote)
+    val res = s.read.parquet(out)
+    val last = res.groupBy($"key").agg(max($"txnId").as("txnId"))
+    res.join(last, Seq("key", "txnId"))
+      .select($"key", $"valueAfter".as("value"), $"txnId".as("last_txn_id"))
   }
 
   /** a11: a7's windowed aggregate driven by *periodic heartbeats* instead
@@ -515,6 +522,17 @@ object TxnQueries {
     * boundary table fans each log row to the snapshots it is visible in,
     * then ONE exchange on the high-cardinality (snap, key) pair — the
     * multi-snapshot reconstruction never replays the log per snapshot.
+    *
+    * Last-writer-wins is computed as hash-aggregable `max(txn_id)` per
+    * (snap, key) plus a broadcast join-back to fetch that winning txn's
+    * value (txn ids are globally unique, so the join is 1:1). The
+    * straight-line `max(struct(txn_id, value))` demotes to
+    * SortAggregateExec — the string field's agg buffer is not
+    * UnsafeRow-mutable — which sorts all 3N fanned-out rows with no
+    * map-side combine: the s4-at-sf100 defect class (PlanAudit
+    * `sort-agg`). The agg output is ≤ |snaps|x[[Buckets]] rows at ANY
+    * scale, so the join-back side broadcasts by construction and the
+    * log is never shuffled at all.
     */
   def a14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -529,11 +547,12 @@ object TxnQueries {
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val snaps = Seq(1L, 2L, 3L).map(i => (i, lo + (hi - lo) * i / 4))
       .toDF("snap_id", "boundary")
-    log.join(broadcast(snaps), $"txn_id" <= $"boundary")
+    val last = log.join(broadcast(snaps), $"txn_id" <= $"boundary")
       .groupBy($"snap_id", $"key")
-      .agg(max(struct($"txn_id", $"value")).as("last"))
-      .select($"snap_id", $"key", $"last.value".as("value"),
-        $"last.txn_id".as("last_txn_id"))
+      .agg(max($"txn_id").as("last_txn_id"))
+    log.select($"txn_id".as("last_txn_id"), $"value")
+      .join(broadcast(last), "last_txn_id")
+      .select($"snap_id", $"key", $"value", $"last_txn_id")
   }
 
   val a14Sql: String = s"""

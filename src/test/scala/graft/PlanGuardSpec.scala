@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.graft.PlanAudit
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforces [[org.apache.spark.sql.graft.PlanAudit]] over the gate
+  * queries whose plans can be built without side effects: every
+  * violation must be on the explicit allowlist below, so a NEW
+  * silently-serialized plan (codegen compile fallback, JIT huge-method
+  * cliff, SortAggregate demotion, cartesian product, unbounded
+  * BroadcastNestedLoopJoin) fails this suite by query name instead of
+  * surfacing two rounds later as an unexplained wall-clock cliff at
+  * 10-100x the gate SF.
+  *
+  * The stream/write families (g*, h*, and the stream-driven a-ops) run
+  * real micro-batches on construction, so re-running them here would
+  * double the suite's wall time; their plans are audited every round by
+  * `graft.Verify` (stderr `[guard]` lines + `plan_guard.json` in the
+  * gate's outDir — the round-13 full sweep showed the same allowlist
+  * plus zero violations there after the a5/a10/a14 max_by fixes).
+  *
+  * AQE is disabled during the audit: an un-executed AdaptiveSparkPlan
+  * holds its initial tree with NO codegen stages inserted, so the
+  * compile checks would silently test nothing. With AQE off the
+  * executed-plan tree carries its WholeStageCodegen units at plan time
+  * and every stage source is Janino-compiled eagerly.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  /** Violation kinds each query may carry, with the bound that makes the
+    * nested-loop build side safe (documented in PLANS.md §bnlj).
+    */
+  private val allowed: Map[String, Set[String]] = Map(
+    "q32_avg_gated_anti" -> Set("bnlj"), // 1-row global-avg threshold
+    "q41_histogram_quantile" -> Set("bnlj"), // 1-row (lo, hi) bounds
+    "q56_important_stock" -> Set("bnlj"), // 1-row total + nparts
+    "s1_bruteforce_topk" -> Set("bnlj"), // NumQueries-row query set
+    "t8_tfidf" -> Set("bnlj"), // 1-row corpus size N
+    "t20_mixture_sample" -> Set("bnlj"), // per-lang quota table
+    "t23_heavy_hitters" -> Set("bnlj"), // 1-row corpus size N
+    "a14_snapshot_read" -> Set("bnlj") // 3-row snapshot boundaries
+  )
+
+  // Lazy-plan families only; construction side effects (ivf training,
+  // union-find rounds, bloom build) still run, at sf0.001 cost.
+  private val audited = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+    n.head match {
+      case 'q' | 't' | 'd' | 's' | 'm' => true
+      case 'a' => Set("a6_event_time_sort", "a13_log_compaction",
+        "a14_snapshot_read")(n)
+      case _ => false
+    }
+  }
+
+  test("gate plans carry no violations beyond the documented allowlist") {
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = audited.flatMap { name =>
+        val vs = PlanAudit.audit(SparkEntry.queries(name)(s, d))
+        vs.filterNot(v => allowed.getOrElse(name, Set.empty)(v.kind))
+          .map(v => s"$name $v")
+      }
+      assert(bad.isEmpty, "new silently-serialized plans:\n" +
+        bad.mkString("\n"))
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("the audit detects a JIT-cliff stage and a sort-agg demotion") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // a projection wide enough to blow the 8000-bytecode method limit:
+    // 150 when-arms summed in one codegen unit (the SignBucket shape).
+    // BALANCED tree: Spark 4's ColumnNode->Expression converter recurses
+    // per depth, so a left-nested reduce overflows the stack at ~400.
+    def bal(xs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (xs.size == 1) xs.head
+      else { val (l, r) = xs.splitAt(xs.size / 2); bal(l) + bal(r) }
+    val wide = bal((1 to 150)
+      .map(i => when($"id" % i === 0, i).otherwise(0)))
+    val cliff = PlanAudit.audit(s.range(10).select(wide.as("x")))
+    assert(cliff.exists(_.kind == "jit-cliff"), cliff.mkString("; "))
+    // max over a struct: immutable agg buffer forces SortAggregateExec
+    val demoted = PlanAudit.audit(
+      s.range(10).select(($"id" % 3).as("k"), struct($"id").as("v"))
+        .groupBy($"k").agg(max($"v")))
+    assert(demoted.exists(_.kind == "sort-agg"), demoted.mkString("; "))
+  }
+}

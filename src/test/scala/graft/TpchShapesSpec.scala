@@ -15,10 +15,22 @@ class TpchShapesSpec extends AnyFunSuite {
 
   import java.time.LocalDateTime
 
+  // timestamp columns collect as LocalDateTime (NTZ inference on) or
+  // java.sql.Timestamp (off — Tables.eventsRaw disables the inference
+  // session-wide the first time ANY suite reads events, and sessions pin
+  // UTC so the instants agree); normalize so this suite does not depend
+  // on which suites ran before it
+  private def ldt(r: org.apache.spark.sql.Row, i: Int): LocalDateTime =
+    r.get(i) match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case t: LocalDateTime => t
+      case other => fail(s"unexpected timestamp value: $other")
+    }
+
   private lazy val orders = Tables.orders(s, d)
     .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     .collect()
-    .map(r => (r.getLong(0), (r.getAs[LocalDateTime](2), r.getString(3))))
+    .map(r => (r.getLong(0), (ldt(r, 2), r.getString(3))))
     .toMap
   private lazy val lineitems = Tables.lineitem(s, d)
     .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
@@ -28,7 +40,7 @@ class TpchShapesSpec extends AnyFunSuite {
   test("q50 counts exactly the orders with a >60-day-late lineitem") {
     val lateOrders = lineitems.filter { r =>
       orders.get(r.getLong(0)).exists { case (od, _) =>
-        r.getAs[LocalDateTime](2).isAfter(od.plusDays(60))
+        ldt(r, 2).isAfter(od.plusDays(60))
       }
     }.map(_.getLong(0)).toSet
     val lo = LocalDateTime.parse("1996-07-01T00:00")
@@ -48,7 +60,7 @@ class TpchShapesSpec extends AnyFunSuite {
     val lo = LocalDateTime.parse("1996-01-01T00:00")
     val hi = LocalDateTime.parse("1997-01-01T00:00")
     val late = lineitems.filter { r =>
-      val sd = r.getAs[LocalDateTime](2)
+      val sd = ldt(r, 2)
       !sd.isBefore(lo) && sd.isBefore(hi) &&
         orders.get(r.getLong(0)).exists { case (od, _) =>
           sd.isAfter(od.plusDays(30))
@@ -95,7 +107,7 @@ class TpchShapesSpec extends AnyFunSuite {
     val lo = LocalDateTime.parse("1996-01-01T00:00")
     val hi = LocalDateTime.parse("1997-01-01T00:00")
     val exp = lineitems.filter { r =>
-      val sd = r.getAs[LocalDateTime](2)
+      val sd = ldt(r, 2)
       !sd.isBefore(lo) && sd.isBefore(hi) &&
         r.getDouble(4) >= 0.05 && r.getDouble(4) <= 0.07 && r.getDouble(5) < 24
     }.map(r => BigDecimal(r.getDouble(3) * r.getDouble(4))
