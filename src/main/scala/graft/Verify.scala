@@ -30,13 +30,22 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir).coalesce(1)
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
-        // post-execution plan audit (AQE tree is final here): the
-        // silently-serialized-work detectors — see PlanAudit's scaladoc.
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // Plan audit: the silently-serialized-work detectors (PlanAudit
+        // scaladoc). The write above ran through ITS OWN QueryExecution,
+        // so df's is still an un-executed adaptive tree with no codegen
+        // stages — re-plan the analyzed plan with AQE off (planning
+        // only, nothing re-executes) so WholeStageCodegen units exist
+        // and every stage source gets Janino-compiled and size-checked.
         // Violations are RECORDED, not fatal: PlanGuardSpec owns the
         // allowlist; the gate's job is to surface every instance.
-        val vs = org.apache.spark.sql.graft.PlanAudit.audit(df)
+        val vs = try {
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          org.apache.spark.sql.graft.PlanAudit.audit(
+            org.apache.spark.sql.graft.bridge.ofRows(
+              spark, df.queryExecution.analyzed))
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
         if (vs.nonEmpty) {
           guard(name) = vs.map(_.toString)
           vs.foreach(v => System.err.println(s"[guard] $name $v"))
