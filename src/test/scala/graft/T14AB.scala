@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * to re-deserialize it, against the alternative that cannot OOM at any
   * scale because it stores nothing.
   *
+  * Measured (sf10, 500k docs, min-of-3 same host, round 13): checkpoint
+  * 13.33 s vs recompute 13.51 s — a wash on wall time (four extra
+  * tokenize passes ≈ one serialize + four deserialize passes), with the
+  * recompute reps noisier (17.4/16.6/13.5 vs 14.5/13.3/13.8). The
+  * shipped checkpoint stays: equal cost, and the t16/t18-style
+  * multi-consumer ops keep the one-tokenize discipline uniform.
+  *
   * Usage: Test/runMain graft.T14AB [sfDir] [reps]
   */
 object T14AB {
