@@ -361,6 +361,7 @@ object Bench {
         System.err.println(s"bench file write failed: $e")
     }
     streaming.StreamRunner.clearStagedCache()
+    sources.Roundtrip.clearFragmentedCache()
     spark.stop()
   }
 }

@@ -74,6 +74,7 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/plan_guard.json"), guardJson)
     streaming.StreamRunner.clearStagedCache()
+    sources.Roundtrip.clearFragmentedCache()
     spark.stop()
   }
 }

@@ -274,18 +274,41 @@ object Roundtrip {
     rm(new java.io.File(p))
   }
 
+  /** The 64-file fragmented lineitem copy h7 compacts, cached per SF dir
+    * for the bench/gate process: the copy is the op's INPUT (a
+    * fragmented table is the precondition compaction exists to fix),
+    * and rewriting ~the whole table per invocation made h7's bench
+    * number mostly staging I/O — the staged-stream-feed lesson
+    * (StreamRunner.stageBatchesCached, round 13) applied to the one
+    * batch op that stages a full table copy. Cleared by
+    * [[clearFragmentedCache]] alongside the streaming feeds.
+    */
+  private val fragmentedCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Delete every cached fragmented copy (bench/gate end-of-run hygiene). */
+  def clearFragmentedCache(): Unit = {
+    fragmentedCache.values.foreach(rmTree)
+    fragmentedCache.clear()
+  }
+
   /** The compacted re-read plus (fragmented, compacted) file counts. The
-    * result is materialized (h5's discipline) so the two full table
-    * copies under the temp dir can be deleted before returning.
+    * result is materialized (h5's discipline) so the compacted copy
+    * under the temp dir can be deleted before returning; the fragmented
+    * input copy is cached per SF dir (see [[fragmentedCache]]).
     */
   private[graft] def h7Compact(s: SparkSession, dir: String)
       : (DataFrame, (Int, Int)) = {
+    val frag = fragmentedCache.getOrElseUpdate(dir, {
+      val p = tmp("graft_h7frag_")
+      Tables.lineitem(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
     val out = tmp("graft_h7_")
-    Tables.lineitem(s, dir).repartition(64)
-      .write.mode("overwrite").parquet(s"$out/fragmented")
-    val fragmented = s.read.parquet(s"$out/fragmented")
-    val nFrag = parquetFiles(s"$out/fragmented").length
-    val srcBytes = parquetFiles(s"$out/fragmented").map(_.length).sum
+    val fragmented = s.read.parquet(frag)
+    val nFrag = parquetFiles(frag).length
+    val srcBytes = parquetFiles(frag).map(_.length).sum
     val (rowsPerFile, nOut) = compactionPlan(fragmented.count(), srcBytes)
     fragmented.repartition(nOut)
       .write.mode("overwrite")
