@@ -80,12 +80,23 @@ object Roundtrip {
     * asserts); only the small post-join aggregate shuffles.
     */
   def h5(s: SparkSession, dir: String): DataFrame = {
-    val (join, cleanup) = h5WithCleanup(s, dir)
-    // materialize before dropping the source tables, so every invocation
-    // (gate run, bench rep, concurrent session) leaves neither catalog
-    // entries nor a bucketed table copy behind
-    try join.localCheckpoint(true) finally cleanup()
+    // the bucketed table copies are h5's INPUT layout (bucketing is an
+    // ingest-time investment amortized over every co-located join — the
+    // Q5BucketProbe story), so like h7's fragmented copy they are cached
+    // per SF dir for the process and dropped by [[clearFragmentedCache]];
+    // the timed op is the exchange-free SMJ itself. h5WithCleanup stays
+    // the uncached per-invocation form for the plan-shape specs.
+    cleanupHook
+    // cache the TABLE SETUP only and build a fresh join plan per call:
+    // a cached Dataset's first localCheckpoint pins its one lazy RDD, so
+    // re-checkpointing the same frame would return the cached blocks and
+    // time nothing — the SMJ must actually re-run per invocation
+    val (to, tl, _) = h5Cache.getOrElseUpdate(dir, h5Setup(s, dir))
+    h5Join(s, to, tl).localCheckpoint(true)
   }
+
+  private val h5Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, () => Unit)]
 
   /** The lazy bucketed-join plan plus its cleanup action — split out so
     * the plan-shape spec can assert the exchange-free SMJ before the
@@ -94,7 +105,17 @@ object Roundtrip {
     * test run) must not race on DROP/saveAsTable.
     */
   def h5WithCleanup(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
-    import org.apache.spark.sql.functions._
+    val (to, tl, cleanup) = h5Setup(s, dir)
+    (h5Join(s, to, tl), cleanup)
+  }
+
+  /** Write the two bucketed+sorted table copies; returns (orders table,
+    * lineitem table, cleanup). Table names are per-invocation unique:
+    * two sessions sharing a metastore (or a gate run concurrent with a
+    * test run) must not race on DROP/saveAsTable.
+    */
+  private def h5Setup(s: SparkSession, dir: String)
+      : (String, String, () => Unit) = {
     val wh = tmp("graft_h5_")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val (to, tl) = (s"h5_orders_$tag", s"h5_lineitem_$tag")
@@ -104,11 +125,6 @@ object Roundtrip {
     Tables.lineitem(s, dir).write.mode("overwrite")
       .option("path", s"$wh/l")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
-    val join = s.table(tl).hint("merge")
-      .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).cast("long").as("n_items"),
-        graft.Portable.dsum(col("l_quantity"), 2).as("total_qty"))
     val cleanup = () => {
       s.sql(s"DROP TABLE IF EXISTS $to")
       s.sql(s"DROP TABLE IF EXISTS $tl")
@@ -118,7 +134,17 @@ object Roundtrip {
       }
       rm(new java.io.File(wh))
     }
-    (join, cleanup)
+    (to, tl, cleanup)
+  }
+
+  /** The exchange-free SMJ + aggregate over the bucketed tables. */
+  private def h5Join(s: SparkSession, to: String, tl: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.table(tl).hint("merge")
+      .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        graft.Portable.dsum(col("l_quantity"), 2).as("total_qty"))
   }
 
   val h5Sql: String = s"""
@@ -286,10 +312,24 @@ object Roundtrip {
   private val fragmentedCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Delete every cached fragmented copy (bench/gate end-of-run hygiene). */
+  // Verify/Bench clear explicitly at end-of-run; the hook covers every
+  // other process that touches h5/h7 (spec JVMs, ad-hoc probes), which
+  // otherwise exits without dropping the cached table copies
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try clearFragmentedCache() catch { case _: Throwable => () }))
+
+  /** Delete every cached staged layout — h7's fragmented copies and h5's
+    * bucketed tables (bench/gate end-of-run hygiene).
+    */
   def clearFragmentedCache(): Unit = {
-    fragmentedCache.values.foreach(rmTree)
+    fragmentedCache.values.foreach(p =>
+      try rmTree(p) catch { case _: Throwable => () })
     fragmentedCache.clear()
+    h5Cache.values.foreach { case (_, _, cleanup) =>
+      try cleanup() catch { case _: Throwable => () }
+    }
+    h5Cache.clear()
   }
 
   /** The compacted re-read plus (fragmented, compacted) file counts. The
@@ -299,6 +339,7 @@ object Roundtrip {
     */
   private[graft] def h7Compact(s: SparkSession, dir: String)
       : (DataFrame, (Int, Int)) = {
+    cleanupHook
     val frag = fragmentedCache.getOrElseUpdate(dir, {
       val p = tmp("graft_h7frag_")
       Tables.lineitem(s, dir).repartition(64)
