@@ -126,8 +126,12 @@ object Roundtrip {
       .option("path", s"$wh/l")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
     val cleanup = () => {
-      s.sql(s"DROP TABLE IF EXISTS $to")
-      s.sql(s"DROP TABLE IF EXISTS $tl")
+      // DROPs may run on the shutdown-hook path after Spark has stopped;
+      // the files must go regardless (the catalog dies with the JVM)
+      try {
+        s.sql(s"DROP TABLE IF EXISTS $to")
+        s.sql(s"DROP TABLE IF EXISTS $tl")
+      } catch { case _: Throwable => () }
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
