@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   * metadata on this path is the phase census (O(31) ints) — the 64 MB
   * union-find edge cap was never reached because componentsOf saw
   * 5M > 4M edges and kept labels distributed throughout.
+  *
+  * RECORDED round 13, one decade-step up (20M txns over an 8M-key
+  * domain, same adversarial density, same host): path=generational,
+  * applyPhases=33, schedulerPasses=33, foldedComponents=0, state rows
+  * 7,945,994 / result rows 19,999,997, wall 1087.7 s — 4.8x wall at 4x
+  * txns with the phase count FLAT (31 -> 33: phases track conflict-chain
+  * depth, which the constant txns/keys ratio pins), so per-phase work is
+  * the linear term and the driver still holds O(#phases) ints.
   */
 object A8ScaleProbe {
   def main(args: Array[String]): Unit = {
