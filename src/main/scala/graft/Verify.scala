@@ -26,32 +26,52 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val guard = scala.collection.mutable.TreeMap.empty[String, Seq[String]]
+    // materializing batch queries (result = eager checkpoint → bare
+    // LogicalRDD) record their lazy pre-checkpoint plans for the audit;
+    // streaming twins remain out of audit scope by design (their work
+    // runs inside micro-batches the gate never sees a plan for)
+    plans.Materialize.enableAuditTap()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try {
+      plans.Materialize.drainAuditTap()
+      val written = try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // Plan audit: the silently-serialized-work detectors (PlanAudit
-        // scaladoc). The write above ran through ITS OWN QueryExecution,
-        // so df's is still an un-executed adaptive tree with no codegen
-        // stages — re-plan the analyzed plan with AQE off (planning
-        // only, nothing re-executes) so WholeStageCodegen units exist
-        // and every stage source gets Janino-compiled and size-checked.
-        // Violations are RECORDED, not fatal: PlanGuardSpec owns the
-        // allowlist; the gate's job is to surface every instance.
-        val vs = try {
-          spark.conf.set("spark.sql.adaptive.enabled", "false")
-          org.apache.spark.sql.graft.PlanAudit.audit(
-            org.apache.spark.sql.graft.bridge.ofRows(
-              spark, df.queryExecution.analyzed))
-        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-        if (vs.nonEmpty) {
-          guard(name) = vs.map(_.toString)
-          vs.foreach(v => System.err.println(s"[guard] $name $v"))
-        }
+        Some(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        None
+      }
+      // Plan audit: the silently-serialized-work detectors (PlanAudit
+      // scaladoc). The write above ran through ITS OWN QueryExecution,
+      // so df's is still an un-executed adaptive tree with no codegen
+      // stages — re-plan the analyzed plan with AQE off (planning
+      // only, nothing re-executes) so WholeStageCodegen units exist
+      // and every stage source gets Janino-compiled and size-checked.
+      // Queries that materialize their result audit the TAPPED lazy
+      // plans too — the result frame alone would be a bare scan.
+      // Violations are RECORDED, not fatal: PlanGuardSpec owns the
+      // allowlist; the gate's job is to surface every instance. An
+      // audit-only failure is reported apart from a gate failure: the
+      // parquet dump above already succeeded.
+      written.foreach { df =>
+        try {
+          val vs = try {
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            (df +: plans.Materialize.drainAuditTap()).flatMap { d =>
+              org.apache.spark.sql.graft.PlanAudit.audit(
+                org.apache.spark.sql.graft.bridge.ofRows(
+                  spark, d.queryExecution.analyzed))
+            }.distinct
+          } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+          if (vs.nonEmpty) {
+            guard(name) = vs.map(_.toString)
+            vs.foreach(v => System.err.println(s"[guard] $name $v"))
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[guard-error] $name audit failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -62,4 +62,34 @@ object Materialize {
   def wideCheckpoint(df: DataFrame, eager: Boolean = false): DataFrame =
     df.localCheckpoint(eager,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Gate-audit tap for queries whose RESULT is an eager checkpoint: the
+    * analyzed plan the gate then sees is a bare LogicalRDD scan, so the
+    * real plan (h5's SMJ, h7's compaction rewrite, h8's mergeSchema read,
+    * h12's manifest read) would never reach PlanAudit. Ops record their
+    * lazy pre-materialization frame here; `graft.Verify` enables the tap,
+    * drains it per query, and audits the recorded plans alongside the
+    * result's. Off by default so bench/spec loops don't accumulate dead
+    * plan references — recording never executes anything either way.
+    */
+  @volatile private var tapEnabled = false
+  private val tap = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  def enableAuditTap(): Unit = tapEnabled = true
+
+  /** Record `df`'s lazy plan for the gate's PlanAudit (no-op unless
+    * [[enableAuditTap]] ran); returns `df` for call-site chaining.
+    */
+  def tapForAudit(df: DataFrame): DataFrame = {
+    if (tapEnabled) tap.add(df)
+    df
+  }
+
+  /** Remove and return everything tapped since the last drain. */
+  def drainAuditTap(): Seq[DataFrame] = {
+    val out = Seq.newBuilder[DataFrame]
+    var d = tap.poll()
+    while (d != null) { out += d; d = tap.poll() }
+    out.result()
+  }
 }

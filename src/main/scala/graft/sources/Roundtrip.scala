@@ -91,9 +91,26 @@ object Roundtrip {
     // a cached Dataset's first localCheckpoint pins its one lazy RDD, so
     // re-checkpointing the same frame would return the cached blocks and
     // time nothing — the SMJ must actually re-run per invocation
-    val (to, tl, _) = h5Cache.getOrElseUpdate(dir, h5Setup(s, dir))
-    h5Join(s, to, tl).localCheckpoint(true)
+    val (to, tl, _) = h5Tables(s, dir)
+    val join = h5Join(s, to, tl)
+    graft.plans.Materialize.tapForAudit(join)
+    join.localCheckpoint(true)
   }
+
+  /** Race-safe per-dir table cache: TrieMap.getOrElseUpdate is not atomic
+    * for a side-effecting setup, so two concurrent first calls could both
+    * write bucketed copies and leak the loser's. putIfAbsent decides the
+    * winner; the loser cleans up its own copy immediately.
+    */
+  private def h5Tables(s: SparkSession, dir: String)
+      : (String, String, () => Unit) =
+    h5Cache.get(dir).getOrElse {
+      val fresh = h5Setup(s, dir)
+      h5Cache.putIfAbsent(dir, fresh) match {
+        case Some(winner) => fresh._3(); winner
+        case None => fresh
+      }
+    }
 
   private val h5Cache = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, () => Unit)]
@@ -355,7 +372,7 @@ object Roundtrip {
     val nFrag = parquetFiles(frag).length
     val srcBytes = parquetFiles(frag).map(_.length).sum
     val (rowsPerFile, nOut) = compactionPlan(fragmented.count(), srcBytes)
-    fragmented.repartition(nOut)
+    graft.plans.Materialize.tapForAudit(fragmented.repartition(nOut))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(s"$out/compacted")
@@ -387,8 +404,9 @@ object Roundtrip {
     o.filter(col("o_orderkey") % 2 === 1)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$out/gen=2")
-    val merged = s.read.option("mergeSchema", "true").parquet(out)
-      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val merged = graft.plans.Materialize.tapForAudit(
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
       .localCheckpoint(true)
     rmTree(out)
     merged
@@ -642,7 +660,8 @@ object Roundtrip {
     */
   def h12(s: SparkSession, dir: String): DataFrame = {
     val table = h12Build(s, dir)
-    try readVersion(s, table, 2).localCheckpoint(true)
+    try graft.plans.Materialize.tapForAudit(readVersion(s, table, 2))
+      .localCheckpoint(true)
     finally rmTree(table)
   }
 

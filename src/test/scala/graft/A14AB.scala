@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object A14AB {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/repo/sf100data"
+    val dir = if (args.nonEmpty) args(0) else "/root/repo/sf10data"
     val reps = if (args.length > 1) args(1).toInt else 3
     val s = GraftSession.get("local[32]")
     import s.implicits._

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 invariants: the materializing gate queries' REAL plans must
+  * reach PlanAudit (round 13's audit only ever saw their post-checkpoint
+  * LogicalRDD scans), via the Materialize audit tap.
+  */
+class Round14Spec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("audit tap records lazy frames only while enabled, drains once") {
+    import s.implicits._
+    plans.Materialize.drainAuditTap() // isolate from other suites
+    val df = Seq(1, 2).toDF("x")
+    plans.Materialize.enableAuditTap()
+    assert(plans.Materialize.tapForAudit(df) eq df)
+    val drained = plans.Materialize.drainAuditTap()
+    assert(drained.exists(_ eq df), "tapped frame not drained")
+    assert(plans.Materialize.drainAuditTap().isEmpty, "drain not idempotent")
+  }
+
+  test("h5's tapped pre-checkpoint plan carries the real SMJ") {
+    plans.Materialize.enableAuditTap()
+    plans.Materialize.drainAuditTap()
+    sources.Roundtrip.queries("h5_bucketed_join")(s, TestSpark.sf)
+    val tapped = plans.Materialize.drainAuditTap()
+    assert(tapped.nonEmpty, "h5 recorded no lazy plan for the audit")
+    assert(tapped.exists(
+      _.queryExecution.optimizedPlan.toString.contains("Join")),
+      "tapped h5 plan is not the join (audit blind spot back)")
+    // and the checkpointed RESULT is exactly the blind spot the tap fixes
+    val res = sources.Roundtrip.queries("h5_bucketed_join")(s, TestSpark.sf)
+    assert(res.queryExecution.analyzed.toString.contains("LogicalRDD"))
+  }
+}
