@@ -145,7 +145,8 @@ object Bench {
       "q55_nation_profit", "q56_important_stock", "q57_supplier_cnt",
       "q58_or_chain_revenue", "q23_approx_distinct", "q27_approx_quantile",
       "g17_stream_kmv_distinct", "q59_quantile_sketch", "g18_stream_quantile",
-      "t23_heavy_hitters", "s9_ivfpq_persist", "g19_stream_ivfpq_serve")
+      "t23_heavy_hitters", "s9_ivfpq_persist", "g19_stream_ivfpq_serve",
+      "q60_bucketed_fact_join")
     if (sections("extras") &&
         new java.io.File(warmDir).isDirectory) extraNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>

@@ -120,11 +120,15 @@ object Relational {
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name"""
 
-  /** TPC-H Q5 shape: 6-table join, local-supplier predicate. */
-  def q5(s: SparkSession, dir: String): DataFrame = {
+  /** The q5 join tail past the fact-fact edge (dim broadcasts, date
+    * filter, exact-decimal rollup) — shared by [[q5]] (raw facts: both
+    * sides shuffle on the order key) and [[q60]] (co-partitioned facts:
+    * no fact-side exchange).
+    */
+  private def q5Tail(s: SparkSession, dir: String, facts: DataFrame)
+      : DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+    facts
       .join(Hints.maybeBroadcast(Tables.customer(s, dir)),
         $"o_custkey" === $"c_custkey")
       .join(Hints.maybeBroadcast(Tables.supplier(s, dir)),
@@ -135,6 +139,30 @@ object Relational {
         $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       .groupBy($"r_name", $"n_name")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q5 shape: 6-table join, local-supplier predicate. */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q5Tail(s, dir, Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey"))
+  }
+
+  /** q60: the SAME Q5 rollup routed through the first-class
+    * co-partitioned fact layout ([[graft.sources.Bucketed]]): lineitem
+    * and orders resolve to the shared per-dir 32-bucket orderkey-bucketed
+    * tables, so the fact-fact edge is a bucket-aligned SMJ with NO
+    * exchange on either fact side — the layout path the round-13 sf100
+    * probe prescribed (raw q5's fact shuffle is the single-box I/O
+    * coupler; bucketed measured 2.7× faster with run variance collapsed,
+    * docs/Q5BUCKET_r13.md). Same oracle as q5: the layout must be
+    * answer-invariant.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q5Tail(s, dir, graft.sources.Bucketed.lineitem(s, dir).hint("merge")
+      .join(graft.sources.Bucketed.orders(s, dir),
+        $"l_orderkey" === $"o_orderkey"))
   }
 
   val q5Sql: String = s"""
@@ -1748,7 +1776,7 @@ object Relational {
     "q15_union" -> q15, "q16_case_agg" -> q16, "q17_percentile" -> q17,
     "q18_asof_join" -> q18, "q19_range_join" -> q19, "q20_pivot" -> q20,
     "q21_scalar_subquery" -> q21, "q22_sessionize" -> q22,
-    "q36_kmv_distinct" -> q36)
+    "q36_kmv_distinct" -> q36, "q60_bucketed_fact_join" -> q60)
 
   val oracles: Map[String, String] = Map(
     "q59_quantile_sketch" -> q59Sql,
@@ -1781,5 +1809,7 @@ object Relational {
     "q16_case_agg" -> q16Sql, "q17_percentile" -> q17Sql,
     "q18_asof_join" -> q18Sql, "q19_range_join" -> q19Sql,
     "q20_pivot" -> q20Sql, "q21_scalar_subquery" -> q21Sql,
-    "q22_sessionize" -> q22Sql)
+    "q22_sessionize" -> q22Sql,
+    // same oracle as q5: the bucketed layout must be answer-invariant
+    "q60_bucketed_fact_join" -> q5Sql)
 }

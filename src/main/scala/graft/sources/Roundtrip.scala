@@ -82,38 +82,19 @@ object Roundtrip {
   def h5(s: SparkSession, dir: String): DataFrame = {
     // the bucketed table copies are h5's INPUT layout (bucketing is an
     // ingest-time investment amortized over every co-located join — the
-    // Q5BucketProbe story), so like h7's fragmented copy they are cached
-    // per SF dir for the process and dropped by [[clearFragmentedCache]];
+    // Q5BucketProbe story): the SHARED per-dir [[Bucketed]] layout, the
+    // same one q60's fact join resolves, dropped by [[Bucketed.clear]];
     // the timed op is the exchange-free SMJ itself. h5WithCleanup stays
     // the uncached per-invocation form for the plan-shape specs.
-    cleanupHook
-    // cache the TABLE SETUP only and build a fresh join plan per call:
-    // a cached Dataset's first localCheckpoint pins its one lazy RDD, so
-    // re-checkpointing the same frame would return the cached blocks and
-    // time nothing — the SMJ must actually re-run per invocation
-    val (to, tl, _) = h5Tables(s, dir)
+    // Build a fresh join plan per call: a cached Dataset's first
+    // localCheckpoint pins its one lazy RDD, so re-checkpointing the
+    // same frame would return the cached blocks and time nothing — the
+    // SMJ must actually re-run per invocation.
+    val (to, tl) = Bucketed.factTables(s, dir)
     val join = h5Join(s, to, tl)
     graft.plans.Materialize.tapForAudit(join)
     join.localCheckpoint(true)
   }
-
-  /** Race-safe per-dir table cache: TrieMap.getOrElseUpdate is not atomic
-    * for a side-effecting setup, so two concurrent first calls could both
-    * write bucketed copies and leak the loser's. putIfAbsent decides the
-    * winner; the loser cleans up its own copy immediately.
-    */
-  private def h5Tables(s: SparkSession, dir: String)
-      : (String, String, () => Unit) =
-    h5Cache.get(dir).getOrElse {
-      val fresh = h5Setup(s, dir)
-      h5Cache.putIfAbsent(dir, fresh) match {
-        case Some(winner) => fresh._3(); winner
-        case None => fresh
-      }
-    }
-
-  private val h5Cache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, String, () => Unit)]
 
   /** The lazy bucketed-join plan plus its cleanup action — split out so
     * the plan-shape spec can assert the exchange-free SMJ before the
@@ -122,40 +103,8 @@ object Roundtrip {
     * test run) must not race on DROP/saveAsTable.
     */
   def h5WithCleanup(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
-    val (to, tl, cleanup) = h5Setup(s, dir)
+    val (to, tl, cleanup) = Bucketed.setup(s, dir)
     (h5Join(s, to, tl), cleanup)
-  }
-
-  /** Write the two bucketed+sorted table copies; returns (orders table,
-    * lineitem table, cleanup). Table names are per-invocation unique:
-    * two sessions sharing a metastore (or a gate run concurrent with a
-    * test run) must not race on DROP/saveAsTable.
-    */
-  private def h5Setup(s: SparkSession, dir: String)
-      : (String, String, () => Unit) = {
-    val wh = tmp("graft_h5_")
-    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val (to, tl) = (s"h5_orders_$tag", s"h5_lineitem_$tag")
-    Tables.orders(s, dir).write.mode("overwrite")
-      .option("path", s"$wh/o")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
-    Tables.lineitem(s, dir).write.mode("overwrite")
-      .option("path", s"$wh/l")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
-    val cleanup = () => {
-      // DROPs may run on the shutdown-hook path after Spark has stopped;
-      // the files must go regardless (the catalog dies with the JVM)
-      try {
-        s.sql(s"DROP TABLE IF EXISTS $to")
-        s.sql(s"DROP TABLE IF EXISTS $tl")
-      } catch { case _: Throwable => () }
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(wh))
-    }
-    (to, tl, cleanup)
   }
 
   /** The exchange-free SMJ + aggregate over the bucketed tables. */
@@ -340,17 +289,14 @@ object Roundtrip {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try clearFragmentedCache() catch { case _: Throwable => () }))
 
-  /** Delete every cached staged layout — h7's fragmented copies and h5's
-    * bucketed tables (bench/gate end-of-run hygiene).
+  /** Delete every cached staged layout — h7's fragmented copies and the
+    * shared bucketed fact tables (bench/gate end-of-run hygiene).
     */
   def clearFragmentedCache(): Unit = {
     fragmentedCache.values.foreach(p =>
       try rmTree(p) catch { case _: Throwable => () })
     fragmentedCache.clear()
-    h5Cache.values.foreach { case (_, _, cleanup) =>
-      try cleanup() catch { case _: Throwable => () }
-    }
-    h5Cache.clear()
+    Bucketed.clear()
   }
 
   /** The compacted re-read plus (fragmented, compacted) file counts. The

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.SortAggregateExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
@@ -42,6 +42,15 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    allowlist, so NEW demotions fail the spec by name.
   *  - `cartesian`: CartesianProductExec anywhere — never acceptable at
   *    scale; every intended all-pairs op in the library is bucketed.
+  *  - `unpruned-scan`: a FilterExec evaluating directly over a parquet
+  *    scan that pushed NOTHING (`PushedFilters: []`) — the h4/h10
+  *    discipline generalized: a predicate that reaches the scan node
+  *    but not the reader skips no row groups, so a selective query
+  *    still reads the full 100 TB. Residual re-evaluation above a scan
+  *    WITH pushed filters is normal (exactness); zero pushed filters
+  *    under a live filter means every predicate failed to translate —
+  *    legitimate only for expression predicates (modulo-class CDC/split
+  *    workloads), which go on the caller's allowlist by query name.
   *  - `bnlj`: BroadcastNestedLoopJoinExec — acceptable ONLY for the
   *    bounded-small build sides PLANS.md documents (1-row aggregates,
   *    codebooks); allowlisted by query name so a new unbounded one fails.
@@ -74,6 +83,18 @@ object PlanAudit {
     def node(p: SparkPlan): String =
       p.nodeName + " " + p.output.map(_.name).mkString("[", ",", "]")
 
+    // the parquet scan a filter sits directly on, looking through the
+    // row-shaping wrappers codegen inserts (projections keep the filter
+    // "on the scan" for pushdown purposes — Catalyst pushes through them)
+    @annotation.tailrec
+    def scanUnder(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case _: ProjectExec | _: InputAdapter | _: WholeStageCodegenExec =>
+        scanUnder(p.children.head)
+      case c if c.nodeName == "ColumnarToRow" => scanUnder(c.children.head)
+      case _ => None
+    }
+
     def walk(p: SparkPlan): Unit = {
       if (!seen.add(p)) return
       p match {
@@ -90,6 +111,16 @@ object PlanAudit {
           out += Violation("sort-agg",
             s.aggregateExpressions.map(_.sql).mkString(", "))
           s.children.foreach(walk)
+        case f: FilterExec =>
+          scanUnder(f.child).foreach { scan =>
+            if (scan.metadata.get("PushedFilters").contains("[]"))
+              out += Violation("unpruned-scan",
+                s"${f.condition.sql.take(200)} over unpushed scan " +
+                  scan.tableIdentifier.map(_.toString)
+                    .getOrElse(scan.relation.location.rootPaths.headOption
+                      .map(_.getName).getOrElse("?")))
+          }
+          f.children.foreach(walk)
         case w: WholeStageCodegenExec =>
           try {
             val (_, source) = w.doCodeGen()

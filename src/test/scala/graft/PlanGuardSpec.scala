@@ -37,10 +37,18 @@ class PlanGuardSpec extends AnyFunSuite {
     "q41_histogram_quantile" -> Set("bnlj"), // 1-row (lo, hi) bounds
     "q56_important_stock" -> Set("bnlj"), // 1-row total + nparts
     "s1_bruteforce_topk" -> Set("bnlj"), // NumQueries-row query set
-    "t8_tfidf" -> Set("bnlj"), // 1-row corpus size N
+    "t8_tfidf" -> Set("bnlj", "unpruned-scan"), // 1-row corpus size N;
+    // the non-empty-token filter is a HOF over tokenize(text) — nothing
+    // a parquet reader can evaluate, and tf-idf reads the corpus anyway
     "t20_mixture_sample" -> Set("bnlj"), // per-lang quota table
     "t23_heavy_hitters" -> Set("bnlj"), // 1-row corpus size N
-    "a14_snapshot_read" -> Set("bnlj") // 3-row snapshot boundaries
+    "a14_snapshot_read" -> Set("bnlj"), // 3-row snapshot boundaries
+    // genuinely unpushable scan predicates: hash-based sampling (q27's
+    // md5 row sample) and tokenize-derived filters (t19) read the full
+    // table BY DESIGN — the predicate exists to partition rows, not to
+    // skip IO
+    "q27_approx_quantile" -> Set("unpruned-scan"),
+    "t19_doc_chunking" -> Set("unpruned-scan")
   )
 
   // Lazy-plan families only; construction side effects (ivf training,
@@ -87,5 +95,27 @@ class PlanGuardSpec extends AnyFunSuite {
       s.range(10).select(($"id" % 3).as("k"), struct($"id").as("v"))
         .groupBy($"k").agg(max($"v")))
     assert(demoted.exists(_.kind == "sort-agg"), demoted.mkString("; "))
+  }
+
+  test("the audit detects an unpruned parquet scan, not a pushed one") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // null-tolerant expression predicate: not translatable to a source
+      // filter AND blocks the isnotnull inference that would otherwise
+      // sneak one pushed filter in — the scan pushes NOTHING
+      val unpruned = PlanAudit.audit(sources.Tables.orders(s, d)
+        .filter(coalesce($"o_orderkey", lit(0L)) % 7 === 0))
+      assert(unpruned.exists(_.kind == "unpruned-scan"),
+        unpruned.mkString("; "))
+      // a plain comparison pushes; the residual FilterExec above the
+      // scan must NOT be flagged
+      val pushed = PlanAudit.audit(sources.Tables.orders(s, d)
+        .filter($"o_orderkey" > 100L))
+      assert(!pushed.exists(_.kind == "unpruned-scan"),
+        pushed.mkString("; "))
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }

@@ -20,6 +20,28 @@ class Round14Spec extends AnyFunSuite {
     assert(plans.Materialize.drainAuditTap().isEmpty, "drain not idempotent")
   }
 
+  test("q60 joins the facts with NO exchange on either fact side") {
+    val df = operators.Relational.q60(s, TestSpark.sf)
+    df.count() // finalize the AQE tree
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // the raw q5 plan shuffles BOTH facts on the order key; the bucketed
+    // layout's whole point is that neither exchange exists
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem side shuffled — bucketed layout not picked up")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "orders side shuffled — bucketed layout not picked up")
+  }
+
+  test("q60 returns exactly q5's rows (layout is answer-invariant)") {
+    import org.apache.spark.sql.functions.col
+    val a = operators.Relational.q5(s, TestSpark.sf)
+      .orderBy(col("r_name"), col("n_name")).collect().toSeq
+    val b = operators.Relational.q60(s, TestSpark.sf)
+      .orderBy(col("r_name"), col("n_name")).collect().toSeq
+    assert(a == b)
+  }
+
   test("h5's tapped pre-checkpoint plan carries the real SMJ") {
     plans.Materialize.enableAuditTap()
     plans.Materialize.drainAuditTap()
