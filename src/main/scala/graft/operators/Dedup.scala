@@ -971,20 +971,23 @@ object Dedup {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val k = SegTokens
-    // both checkpoints carry per-token payloads (whs arrays / exploded
-    // windows — ~1G rows at sf100), so they store SERIALIZED: the
-    // deserialized default OOM'd an 80 GB heap at sf100 re-inflating
-    // spilled partitions (the t14 class, next instance one decade up)
-    val base = graft.plans.Materialize.wideCheckpoint(
+    // ONE tokenize scan → ONE serialized checkpoint of the exploded
+    // window stream (~1G primitive rows at sf100 — serialized because
+    // the deserialized default OOM'd an 80 GB heap re-inflating spilled
+    // partitions; the t14 class). posexplode_outer keeps a null-window
+    // row for docs shorter than k and `ntok` rides every row, so the
+    // final per-doc spine is a FILTER over this same checkpoint (p = 0
+    // or null picks each doc exactly once) instead of a second
+    // array-payload checkpoint deserialized per consumer — the round-13
+    // 2× re-read tax, halved by never storing the whs arrays at all.
+    val wins = graft.plans.Materialize.wideCheckpoint(
       Tables.documents(s, dir)
         .withColumn("toks", Text.tokens($"text"))
         .select($"doc_id", size($"toks").cast("long").as("ntok"),
-          graft.functions.WindowPolyHash($"toks", k).as("whs")))
-      // feeds the window explode AND the final per-doc join — one scan
-    val wins = graft.plans.Materialize.wideCheckpoint(
-      base.select($"doc_id", posexplode($"whs"))
-        .toDF("doc_id", "p", "wh"))
-    val dupHash = wins.groupBy($"wh")
+          graft.functions.WindowPolyHash($"toks", k).as("whs"))
+        .select($"doc_id", $"ntok", posexplode_outer($"whs"))
+        .toDF("doc_id", "ntok", "p", "wh"))
+    val dupHash = wins.filter($"wh".isNotNull).groupBy($"wh")
       .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"wh")
     val w = Window.partitionBy($"doc_id").orderBy($"p")
     val isl = wins.join(dupHash, "wh")
@@ -1000,7 +1003,7 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_spans"),
         sum($"span_len").cast("long").as("dup_tokens"),
         max($"span_len").cast("long").as("max_span"))
-    base.select($"doc_id", $"ntok")
+    wins.filter($"p".isNull || $"p" === 0).select($"doc_id", $"ntok")
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select($"doc_id", $"ntok",
         coalesce($"n_spans", lit(0L)).as("n_spans"),

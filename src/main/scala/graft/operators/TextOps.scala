@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.{Text, TextSql}
 import graft.plans.Hints
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.Materialize.MaterializeOps
@@ -43,35 +43,55 @@ object TextOps {
   /** [[t2]] over a pre-tokenized (doc_id, text, toks) base; `extra`
     * columns (e.g. lang for [[t22]]) pass through both projections.
     */
+  // floor-truncation, not round(): the inputs are bitwise-identical
+  // doubles in both engines, so floor is deterministic, while round()
+  // diverges on exact .XXXX5 ties (dyadic ratios like 7/64 produce them)
+  private def trunc4(c: Column): Column =
+    (floor(c * 10000) / 10000.0).cast("double")
+
+  /** The raw t2 signal columns over bound ($"text", $"toks") — shared by
+    * [[t2Of]]'s two-stage projection and [[t14]]'s fused single scan so
+    * the quality kernel can never drift between them. `punct` is the
+    * native code-point class count — exactly the characters the oracle's
+    * regexp_replace removes, without the regex engine (T2Anatomy: the
+    * punct regex was t2's hottest kernel at 1.5 s/sf1; the native count
+    * is a byte scan).
+    */
+  private def punctRatioCol: Column = {
+    val punct = graft.functions.PunctCount(col("text"))
+    when(length(col("text")) > 0, punct * lit(1.0) / length(col("text")))
+      .otherwise(0.0)
+  }
+
+  private def stopRatioCol: Column = {
+    val nTok = size(col("toks"))
+    when(nTok > 0,
+      Text.stopwordHits(col("toks"), Text.enStops) * lit(1.0) / nTok)
+      .otherwise(0.0)
+  }
+
+  /** The composite floor-truncated quality over raw (n_tokens, praw,
+    * sraw) columns — the exact expression tree of [[t2Of]]'s second
+    * stage, so inlined single-scan evaluation stays bitwise-identical.
+    */
+  private def qualityOf(nTokens: Column, praw: Column, sraw: Column): Column =
+    trunc4(least(lit(1.0), nTokens / lit(100.0)) * 0.3 +
+      sraw * 0.4 + (lit(1.0) - praw) * 0.3)
+
   private def t2Of(docs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     val nTok = size($"toks")
-    // native code-point class count — exactly the characters the oracle's
-    // regexp_replace removes, without the regex engine (T2Anatomy: the
-    // punct regex was t2's hottest kernel at 1.5 s/sf1; the native count
-    // is a byte scan)
-    val punct = graft.functions.PunctCount($"text")
-    val punctRatio = when(length($"text") > 0,
-      punct * lit(1.0) / length($"text")).otherwise(0.0)
-    val stopRatio = when(nTok > 0,
-      Text.stopwordHits($"toks", Text.enStops) * lit(1.0) / nTok).otherwise(0.0)
-    // floor-truncation, not round(): the inputs are bitwise-identical
-    // doubles in both engines, so floor is deterministic, while round()
-    // diverges on exact .XXXX5 ties (dyadic ratios like 7/64 produce them)
-    def trunc4(c: org.apache.spark.sql.Column) =
-      (floor(c * 10000) / 10000.0).cast("double")
     // two-stage projection (the oracle's m-CTE shape): quality reads the
     // BOUND raw-ratio attributes — inlined, the punct regex and the
     // interpreted stopword HOF each evaluated twice per row (once for
     // the emitted ratio, once inside quality)
     val ex = extra.map(col)
     docs.select(Seq($"doc_id", nTok.cast("long").as("n_tokens"),
-        punctRatio.as("praw"), stopRatio.as("sraw")) ++ ex: _*)
+        punctRatioCol.as("praw"), stopRatioCol.as("sraw")) ++ ex: _*)
       .select(Seq($"doc_id", $"n_tokens",
         trunc4($"praw").as("punct_ratio"),
         trunc4($"sraw").as("stop_ratio"),
-        trunc4(least(lit(1.0), $"n_tokens" / lit(100.0)) * 0.3 +
-          $"sraw" * 0.4 + (lit(1.0) - $"praw") * 0.3).as("quality")) ++ ex: _*)
+        qualityOf($"n_tokens", $"praw", $"sraw").as("quality")) ++ ex: _*)
   }
 
   /** The t2 raw-signal CTE pair (tok + m), with optional passthrough
@@ -286,6 +306,13 @@ object TextOps {
     * for build+distinct at sf1), with the oracle replaying the identical
     * arithmetic. Collision odds per doc: ~n_shingles²/2^63 — nil.
     */
+  /** Repetition ratio over bound (n_shingles, n_distinct) counts — the
+    * exact [[t10Of]] expression, shared with [[t14]]'s fused scan.
+    */
+  private def repRatioOf(nSh: Column, nDist: Column): Column =
+    when(nSh === 0, lit(0.0)).otherwise(
+      lit(1.0) - nDist.cast("double") / nSh)
+
   private def t10Of(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
@@ -293,9 +320,7 @@ object TextOps {
       .select($"doc_id",
         size($"sh").cast("long").as("n_shingles"),
         size(array_distinct($"sh")).cast("long").as("n_distinct"))
-      .withColumn("rep_ratio",
-        when($"n_shingles" === 0, lit(0.0)).otherwise(
-          lit(1.0) - $"n_distinct".cast("double") / $"n_shingles"))
+      .withColumn("rep_ratio", repRatioOf($"n_shingles", $"n_distinct"))
   }
 
   val t10Sql: String = s"""
@@ -522,17 +547,66 @@ object TextOps {
         $"ok_quality" && $"ok_rep" && $"ok_rare" && $"ok_fluency")
   }
 
+  /** Tag bit separating [[t14]]'s k=2 bigram hashes from its k=1 token
+    * hashes in the fused frequency stream: WindowPolyHash values are
+    * 62-bit, so setting bit 62 is injective and keeps both families'
+    * corpus counts exactly those of separate tables.
+    */
+  private val BigramTag = 1L << 62
+
   def t14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE tokenize scan feeds all four signals (lazy checkpoint — the
-    // corpus is read and tokenized once, not once per rule)
-    val base = graft.plans.Materialize.wideCheckpoint(
+    // ONE tokenize scan computes the two PER-ROW signals (t2 quality,
+    // t10 repetition) inline and hands the corpus-statistical signals
+    // (t12 rare words, t13 bigram fluency) packed 62-bit hash arrays.
+    // The checkpoint carries PRIMITIVES only (doc_id, two doubles, long
+    // arrays) — never text/toks: round 13 measured the (doc_id, text,
+    // toks) serialized checkpoint at ~2× (each of 4-5 consumer passes
+    // re-deserialized the strings; the deserialized level OOM'd at
+    // sf100), while long arrays re-read at a fraction of the cost and
+    // three passes suffice. Expression trees go through the same bound
+    // attribute stages as t2Of/t10Of so values stay bitwise-identical.
+    val scored = graft.plans.Materialize.wideCheckpoint(
       withToks(Tables.documents(s, dir))
-        .select($"doc_id", $"text", $"toks"))
-    t2Of(base).select($"doc_id", $"quality")
-      .join(t10Of(base).select($"doc_id", $"rep_ratio"), "doc_id")
-      .join(t12Of(base).select($"doc_id", $"rare_frac"), "doc_id")
-      .join(t13Of(base).select($"doc_id", $"fluency"), "doc_id")
+        .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+          punctRatioCol.as("praw"), stopRatioCol.as("sraw"),
+          graft.functions.WindowPolyHash($"toks", 3).as("sh"),
+          graft.functions.WindowPolyHash($"toks", 1).as("w1"),
+          graft.functions.WindowPolyHash($"toks", 2).as("w2"))
+        .select($"doc_id",
+          qualityOf($"n_tokens", $"praw", $"sraw").as("quality"),
+          size($"sh").cast("long").as("n_shingles"),
+          size(array_distinct($"sh")).cast("long").as("n_distinct"),
+          $"w1", $"w2")
+        .select($"doc_id", $"quality",
+          repRatioOf($"n_shingles", $"n_distinct").as("rep_ratio"),
+          $"w1", $"w2"))
+    // both corpus-frequency families in ONE tagged stream: one explode,
+    // one freq aggregate, one join-back, one per-doc aggregate — where
+    // t12Of+t13Of ran two of each
+    val ex = scored.select($"doc_id",
+      explode(concat($"w1",
+        transform($"w2", _ + lit(BigramTag)))).as("wt"))
+    val freq = ex.groupBy($"wt").agg(count(lit(1)).as("cnt"))
+    val stats = ex.join(freq, "wt")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"wt" < BigramTag, 1L).otherwise(0L)).cast("long")
+          .as("n_tokens"),
+        sum(when($"wt" < BigramTag && $"cnt" <= RareMax, 1L).otherwise(0L))
+          .cast("long").as("n_rare"),
+        sum(when($"wt" >= BigramTag, 1L).otherwise(0L)).cast("long")
+          .as("n_bigrams"),
+        sum(when($"wt" >= BigramTag, $"cnt").otherwise(lit(0L)))
+          .cast("long").as("freq_sum"))
+    // inner join: docs with zero tokens are absent, exactly as t12's
+    // inner membership made them before
+    scored.select($"doc_id", $"quality", $"rep_ratio")
+      .join(stats, "doc_id")
+      .select($"doc_id", $"quality", $"rep_ratio",
+        round($"n_rare" * lit(1.0) / $"n_tokens", 6).as("rare_frac"),
+        round(coalesce($"freq_sum" * lit(1.0) / $"n_bigrams", lit(0.0)), 6)
+          .as("fluency"))
       .select($"doc_id", $"quality", $"rep_ratio", $"rare_frac", $"fluency",
         ($"quality" >= GateMinQuality).as("ok_quality"),
         ($"rep_ratio" <= GateMaxRep).as("ok_rep"),
