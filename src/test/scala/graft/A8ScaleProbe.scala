@@ -39,6 +39,31 @@ import org.apache.spark.sql.functions._
   * txns with the phase count FLAT (31 -> 33: phases track conflict-chain
   * depth, which the constant txns/keys ratio pins), so per-phase work is
   * the linear term and the driver still holds O(#phases) ints.
+  *
+  * RECORDED round 14 — the wall decomposition the r13 4.8x asked for
+  * (`SPARK_GRAFT_MK_DEBUG=1`, quiet host, 10M/4M then 20M/8M — a clean
+  * doubling at the same conflict density; per-phase ck_ms = the phase's
+  * apply joins + state checkpoint, merge_ms = the deferred result-union
+  * materializations; residual = the PRE-LOOP scheduling + metadata:
+  * workload checkpoint, keyed/asserts/updates materializations,
+  * componentsOf pointer-doubling, generationsCounted passes):
+  *
+  *   | txns | phases | wall s | phase-loop ck | merges | pre-loop |
+  *   |------|--------|--------|---------------|--------|----------|
+  *   | 10M  | 32     | 504.2  | 165.0         | 17.3   | 321.9    |
+  *   | 20M  | 33     | 874.2  | 247.8         | 18.1   | 608.3    |
+  *   | 2x   | flat   | 1.73x  | 1.50x         | flat   | 1.89x    |
+  *
+  * NO term is superlinear at the doubling: the phase loop is SUBLINEAR
+  * (fixed per-phase floors amortize), the pre-loop is ~linear and is
+  * ~2/3 of the wall (33 scheduler passes each scan the 2-key metadata
+  * stream). r13's 4.8x-at-4x (which implied ~2.2x per doubling) does
+  * not reproduce on a quiet host — this 20M run lands at 874 s vs the
+  * recorded 1087.7 s, so the excess was the single-disk/page-cache
+  * coupling SF100_r13.md documents, not a plan term. The scale lever,
+  * if one is ever needed, is the pre-loop's scheduler-pass count — a
+  * metadata-only cost that a fleet's aggregate shuffle bandwidth
+  * absorbs, unlike a data-proportional superlinearity.
   */
 object A8ScaleProbe {
   def main(args: Array[String]): Unit = {
