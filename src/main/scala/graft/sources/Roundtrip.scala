@@ -262,6 +262,19 @@ object Roundtrip {
     (rowsPerFile, math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt))
   }
 
+  /** Shape a frame for the compacted write WITHOUT a shuffle: merging
+    * small files narrows with coalesce (no exchange), and when the
+    * target file count exceeds the input partitions the writer's
+    * `maxRecordsPerFile` cuts files per task — either way the full-table
+    * `repartition(nOut)` the op used to pay is gone. That shuffle was
+    * pure waste for a job whose whole point is file-layout hygiene, and
+    * at sf100 it was fatal: ~50 GB of spilled rows for an 8 GB table
+    * filled the disk (ENOSPC, round-14 sweep). At 100 TB compaction must
+    * be per-partition-local rewrites, which this now is.
+    */
+  private[graft] def compactionLayout(df: DataFrame, nOut: Int): DataFrame =
+    if (nOut < df.rdd.getNumPartitions) df.coalesce(nOut) else df
+
   private def rmTree(p: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
@@ -300,33 +313,40 @@ object Roundtrip {
   }
 
   /** The compacted re-read plus (fragmented, compacted) file counts. The
-    * result is materialized (h5's discipline) so the compacted copy
-    * under the temp dir can be deleted before returning; the fragmented
-    * input copy is cached per SF dir (see [[fragmentedCache]]).
+    * compacted output lands in a per-dir CACHED location (overwritten on
+    * every invocation — the rewrite IS the op) and the result is LAZY
+    * over those files: the previous eager localCheckpoint of the whole
+    * table re-stored all rows as block-manager blocks on top of the two
+    * table copies (~30 GB of deserialized blocks at sf100 — ENOSPC in
+    * the round-14 sweep). Both cached dirs are dropped by
+    * [[clearFragmentedCache]] / the shutdown hook.
     */
   private[graft] def h7Compact(s: SparkSession, dir: String)
       : (DataFrame, (Int, Int)) = {
     cleanupHook
     val frag = fragmentedCache.getOrElseUpdate(dir, {
       val p = tmp("graft_h7frag_")
-      Tables.lineitem(s, dir).repartition(64)
-        .write.mode("overwrite").parquet(p)
+      val li = Tables.lineitem(s, dir)
+      // shuffle-free fragmentation: cut ~64 files with maxRecordsPerFile
+      // (the old repartition(64) shuffled the whole table just to stage
+      // the op's INPUT — ~50 GB of transient spill at sf100, ENOSPC in
+      // the round-14 sweep; the staged layout is equivalent either way)
+      val rpf = math.max(1L, math.ceil(li.count() / 64.0).toLong)
+      li.write.option("maxRecordsPerFile", rpf)
+        .mode("overwrite").parquet(p)
       p
     })
-    val out = tmp("graft_h7_")
+    val out = fragmentedCache.getOrElseUpdate(s"$dir#h7out", tmp("graft_h7_"))
     val fragmented = s.read.parquet(frag)
     val nFrag = parquetFiles(frag).length
     val srcBytes = parquetFiles(frag).map(_.length).sum
     val (rowsPerFile, nOut) = compactionPlan(fragmented.count(), srcBytes)
-    graft.plans.Materialize.tapForAudit(fragmented.repartition(nOut))
+    graft.plans.Materialize.tapForAudit(compactionLayout(fragmented, nOut))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(s"$out/compacted")
     val nCompacted = parquetFiles(s"$out/compacted").length
-    val result =
-      try s.read.parquet(s"$out/compacted").localCheckpoint(true)
-      finally rmTree(out)
-    (result, (nFrag, nCompacted))
+    (s.read.parquet(s"$out/compacted"), (nFrag, nCompacted))
   }
 
   val h7Sql: String = "SELECT * FROM lineitem"

@@ -592,7 +592,8 @@ object StreamOps {
         val all = s.read.parquet(tbl).localCheckpoint(true)
         val bytes = parquetFiles(tbl).map(_.length).sum
         val (rowsPerFile, nOut) = compactionPlan(all.count(), bytes)
-        all.repartition(nOut).write.mode("overwrite")
+        graft.sources.Roundtrip.compactionLayout(all, nOut)
+          .write.mode("overwrite")
           .option("maxRecordsPerFile", rowsPerFile).parquet(tbl)
         compactions += 1
       } }
