@@ -1139,10 +1139,19 @@ object Relational {
     GROUP BY 1, 2"""
 
   /** q43: TPC-H Q8 shape — a nation's share of regional revenue by order
-    * year. Six-way star join (dims broadcast; the one fact-fact join,
-    * lineitem ⋈ orders, shuffles on orderkey with AQE); the share divides
-    * two exact decimal sums ([[graft.Portable.dsum]]) so the boundary is
-    * bit-identical, then rounds the IEEE quotient.
+    * year. Six-way star join; the share divides two exact decimal sums
+    * ([[graft.Portable.dsum]]) so the boundary is bit-identical, then
+    * rounds the IEEE quotient.
+    *
+    * Scale shape (round-15 fix for the r14 sweep's one superlinear point,
+    * 26.6× at 10× — docs/SF100_r14.md §4): the lineitem ⋈ orders edge
+    * routes through the co-partitioned fact layout
+    * ([[graft.sources.Bucketed]]) so neither fact side shuffles, and both
+    * dim edges go through [[Hints.maybeBroadcast]], whose estimator now
+    * sizes the PROJECTED joined side (supplier is ~2 columns wide here)
+    * instead of Spark's product-of-inputs join stat — so the broadcast
+    * guard no longer stands down at sf100 and the plan has ZERO full-fact
+    * exchanges (asserted by Round15Spec).
     */
   def q43(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1158,8 +1167,9 @@ object Relational {
     val supp = Tables.supplier(s, dir)
       .join(broadcast(sn), $"s_nationkey" === $"s_nk")
       .select($"s_suppkey", $"supp_nation")
-    Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+    graft.sources.Bucketed.lineitem(s, dir).hint("merge")
+      .join(graft.sources.Bucketed.orders(s, dir),
+        $"l_orderkey" === $"o_orderkey")
       .join(Hints.maybeBroadcast(asiaCust), $"o_custkey" === $"c_custkey")
       .join(Hints.maybeBroadcast(supp), $"l_suppkey" === $"s_suppkey")
       .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.functions.broadcast
 
 /** Size-guarded join hints.
@@ -30,7 +31,30 @@ object Hints {
 
   def maybeBroadcast(df: DataFrame,
       maxBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = estimate(df.queryExecution.optimizedPlan)
     if (est <= maxBytes) broadcast(df) else df
+  }
+
+  /** Plan-time size estimate that sizes the side AS JOINED, not as the
+    * product of its inputs. Spark's non-CBO stats visitor estimates a
+    * Join as `left.sizeInBytes × right.sizeInBytes`, so a dimension that
+    * is itself decorated by a tiny key-join (supplier ⋈ nation for the
+    * nation name, customer ⋈ nation ⋈ region for a region filter) blows
+    * up to petabytes on paper and the guard stands down — at sf100 that
+    * false stand-down cost q43 a third full-fact exchange
+    * (docs/SF100_r14.md §4). Every [[maybeBroadcast]] call site joins on
+    * a key that is unique on at least one side, so output rows ≤ the
+    * larger input and bytes ≤ the SUM of the joined inputs; the
+    * recursion replaces the product with that sum and trusts Spark's own
+    * width-scaled estimate (file bytes × projected-width ratio) for
+    * join-free subtrees. Still an overestimate for filtered dims — safe
+    * direction for an OOM guard. NOT safe for many-to-many joins; the
+    * guard's contract is dimension-shaped sides.
+    */
+  private[graft] def estimate(plan: LogicalPlan): BigInt = plan match {
+    case j: Join => estimate(j.left) + estimate(j.right)
+    case p if p.children.isEmpty => p.stats.sizeInBytes
+    case p if !p.exists(_.isInstanceOf[Join]) => p.stats.sizeInBytes
+    case p => p.children.map(estimate).sum
   }
 }
