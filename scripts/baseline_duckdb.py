@@ -66,8 +66,22 @@ def main():
                  sf_dir, oracle_path, name],
                 capture_output=True, text=True, timeout=budget)
             if r.returncode == 0:
-                times[name] = float(r.stdout.strip().splitlines()[-1])
-                note = f"{times[name]:.3f}"
+                # scan from the end for the timing line: the child may
+                # print warnings to stdout after it (r14 advice — a bare
+                # float() on the last line aborted the whole sweep)
+                secs = None
+                for ln in reversed(r.stdout.strip().splitlines()):
+                    try:
+                        secs = float(ln.strip())
+                        break
+                    except ValueError:
+                        continue
+                if secs is None:
+                    failed[name] = "FAIL"
+                    note = "FAIL no timing line in stdout"
+                else:
+                    times[name] = secs
+                    note = f"{times[name]:.3f}"
             else:
                 failed[name] = "FAIL"
                 note = "FAIL " + r.stderr.strip()[-200:]

@@ -77,6 +77,17 @@ object Materialize {
 
   def enableAuditTap(): Unit = tapEnabled = true
 
+  /** Stop recording and drop anything undrained — spec suites that
+    * enable the tap in a shared JVM MUST restore it in a finally block,
+    * or every later materializing op in that process enqueues a plan
+    * tree only Verify would ever drain (r14 advice: unbounded retention
+    * in long spec/bench loops).
+    */
+  def disableAuditTap(): Unit = {
+    tapEnabled = false
+    drainAuditTap(): Unit
+  }
+
   /** Record `df`'s lazy plan for the gate's PlanAudit (no-op unless
     * [[enableAuditTap]] ran); returns `df` for call-site chaining.
     */

@@ -295,6 +295,22 @@ object Roundtrip {
   private val fragmentedCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Race-safe cached staging dir: putIfAbsent decides the winner and
+    * the loser deletes its own copy (getOrElseUpdate is not atomic for a
+    * side-effecting build — same discipline as Bucketed.factTables;
+    * r14 advice).
+    */
+  private def cachedStaging(key: String)(build: => String): String =
+    fragmentedCache.get(key).getOrElse {
+      val fresh = build
+      fragmentedCache.putIfAbsent(key, fresh) match {
+        case Some(winner) => try rmTree(fresh) catch {
+          case _: Throwable => ()
+        }; winner
+        case None => fresh
+      }
+    }
+
   // Verify/Bench clear explicitly at end-of-run; the hook covers every
   // other process that touches h5/h7 (spec JVMs, ad-hoc probes), which
   // otherwise exits without dropping the cached table copies
@@ -313,18 +329,21 @@ object Roundtrip {
   }
 
   /** The compacted re-read plus (fragmented, compacted) file counts. The
-    * compacted output lands in a per-dir CACHED location (overwritten on
-    * every invocation — the rewrite IS the op) and the result is LAZY
-    * over those files: the previous eager localCheckpoint of the whole
-    * table re-stored all rows as block-manager blocks on top of the two
-    * table copies (~30 GB of deserialized blocks at sf100 — ENOSPC in
-    * the round-14 sweep). Both cached dirs are dropped by
-    * [[clearFragmentedCache]] / the shutdown hook.
+    * result is LAZY over the compacted files: the previous eager
+    * localCheckpoint of the whole table re-stored all rows as
+    * block-manager blocks on top of the two table copies (~30 GB of
+    * deserialized blocks at sf100 — ENOSPC in the round-14 sweep). Each
+    * invocation writes a FRESH subdir under the per-dir cached parent, so
+    * a result handle stays readable across later invocations (r14 advice:
+    * the old single overwritten path invalidated prior results); disk
+    * grows one compacted copy per invocation within a process and the
+    * whole parent is reclaimed by [[clearFragmentedCache]] / the
+    * shutdown hook.
     */
   private[graft] def h7Compact(s: SparkSession, dir: String)
       : (DataFrame, (Int, Int)) = {
     cleanupHook
-    val frag = fragmentedCache.getOrElseUpdate(dir, {
+    val frag = cachedStaging(dir) {
       val p = tmp("graft_h7frag_")
       val li = Tables.lineitem(s, dir)
       // shuffle-free fragmentation: cut ~64 files with maxRecordsPerFile
@@ -335,8 +354,10 @@ object Roundtrip {
       li.write.option("maxRecordsPerFile", rpf)
         .mode("overwrite").parquet(p)
       p
-    })
-    val out = fragmentedCache.getOrElseUpdate(s"$dir#h7out", tmp("graft_h7_"))
+    }
+    val out = cachedStaging(s"$dir#h7out")(tmp("graft_h7_"))
+    val gen = s"$out/compacted_${java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)}"
     val fragmented = s.read.parquet(frag)
     val nFrag = parquetFiles(frag).length
     val srcBytes = parquetFiles(frag).map(_.length).sum
@@ -344,9 +365,9 @@ object Roundtrip {
     graft.plans.Materialize.tapForAudit(compactionLayout(fragmented, nOut))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
-      .parquet(s"$out/compacted")
-    val nCompacted = parquetFiles(s"$out/compacted").length
-    (s.read.parquet(s"$out/compacted"), (nFrag, nCompacted))
+      .parquet(gen)
+    val nCompacted = parquetFiles(gen).length
+    (s.read.parquet(gen), (nFrag, nCompacted))
   }
 
   val h7Sql: String = "SELECT * FROM lineitem"

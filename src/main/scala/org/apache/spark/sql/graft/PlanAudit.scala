@@ -113,7 +113,12 @@ object PlanAudit {
           s.children.foreach(walk)
         case f: FilterExec =>
           scanUnder(f.child).foreach { scan =>
-            if (scan.metadata.get("PushedFilters").contains("[]"))
+            // a scan pruned purely by partition filters skips IO just as
+            // correctly as a pushed row-group filter — don't flag it
+            // (r14 advice: PushedFilters=="[]" alone over-flags)
+            if (scan.metadata.get("PushedFilters").contains("[]") &&
+                scan.metadata.get("PartitionFilters")
+                  .getOrElse("[]") == "[]")
               out += Violation("unpruned-scan",
                 s"${f.condition.sql.take(200)} over unpushed scan " +
                   scan.tableIdentifier.map(_.toString)

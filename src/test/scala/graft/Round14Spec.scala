@@ -14,10 +14,16 @@ class Round14Spec extends AnyFunSuite {
     plans.Materialize.drainAuditTap() // isolate from other suites
     val df = Seq(1, 2).toDF("x")
     plans.Materialize.enableAuditTap()
-    assert(plans.Materialize.tapForAudit(df) eq df)
-    val drained = plans.Materialize.drainAuditTap()
-    assert(drained.exists(_ eq df), "tapped frame not drained")
-    assert(plans.Materialize.drainAuditTap().isEmpty, "drain not idempotent")
+    try {
+      assert(plans.Materialize.tapForAudit(df) eq df)
+      val drained = plans.Materialize.drainAuditTap()
+      assert(drained.exists(_ eq df), "tapped frame not drained")
+      assert(plans.Materialize.drainAuditTap().isEmpty,
+        "drain not idempotent")
+    } finally plans.Materialize.disableAuditTap()
+    // disabled again: later suites' materializing ops must not accumulate
+    plans.Materialize.tapForAudit(df)
+    assert(plans.Materialize.drainAuditTap().isEmpty, "tap still recording")
   }
 
   test("q60 joins the facts with NO exchange on either fact side") {
@@ -45,14 +51,16 @@ class Round14Spec extends AnyFunSuite {
   test("h5's tapped pre-checkpoint plan carries the real SMJ") {
     plans.Materialize.enableAuditTap()
     plans.Materialize.drainAuditTap()
-    sources.Roundtrip.queries("h5_bucketed_join")(s, TestSpark.sf)
-    val tapped = plans.Materialize.drainAuditTap()
-    assert(tapped.nonEmpty, "h5 recorded no lazy plan for the audit")
-    assert(tapped.exists(
-      _.queryExecution.optimizedPlan.toString.contains("Join")),
-      "tapped h5 plan is not the join (audit blind spot back)")
-    // and the checkpointed RESULT is exactly the blind spot the tap fixes
-    val res = sources.Roundtrip.queries("h5_bucketed_join")(s, TestSpark.sf)
-    assert(res.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    try {
+      sources.Roundtrip.queries("h5_bucketed_join")(s, TestSpark.sf)
+      val tapped = plans.Materialize.drainAuditTap()
+      assert(tapped.nonEmpty, "h5 recorded no lazy plan for the audit")
+      assert(tapped.exists(
+        _.queryExecution.optimizedPlan.toString.contains("Join")),
+        "tapped h5 plan is not the join (audit blind spot back)")
+      // and the checkpointed RESULT is the blind spot the tap fixes
+      val res = sources.Roundtrip.queries("h5_bucketed_join")(s, TestSpark.sf)
+      assert(res.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    } finally plans.Materialize.disableAuditTap()
   }
 }
