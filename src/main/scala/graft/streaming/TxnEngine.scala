@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -47,6 +47,20 @@ object TxnEngine {
 
   /** Per-phase scheduler diagnostics (dev): set SPARK_GRAFT_MK_DEBUG=1. */
   private val Debug = sys.env.get("SPARK_GRAFT_MK_DEBUG").contains("1")
+
+  /** Debug-gated pre-loop stage timer ([mk-pre] lines): the r14/r15
+    * A8ScaleProbe decompositions showed the PRE-loop is ~2/3 of the a8
+    * wall; these name its terms so the lever is measured, not guessed.
+    */
+  private def timedStage[T](stage: String)(f: => T): T = {
+    if (!Debug) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[mk-pre] stage=$stage%-16s ms=${(System.nanoTime() - t0) / 1e6}%10.1f")
+      r
+    }
+  }
 
   /** Single-key transaction: one assert + one update on `key`.
     * `assertPresent=false` with null `assertValue` means "expect absent";
@@ -159,8 +173,9 @@ object TxnEngine {
     * micro-batch), which bounds R; the txn *data* never enters the
     * scheduler. As a backstop for a pathological micro-batch, the
     * convergence probe watches R's pair count and bails out to per-node
-    * label relaxation (O(E) state, one pass per depth level — the shape
-    * of the old ready-set scheduler) the moment the closure crosses
+    * CHAIN relaxation (O(n) state; one pass per key-switch on the
+    * critical path, not per depth level — see
+    * [[chainRelaxGenerations]]) the moment the closure crosses
     * [[MaxClosurePairs]], so shuffle volume is capped whichever way the
     * batch is shaped.
     */
@@ -208,7 +223,7 @@ object TxnEngine {
     var converged = prev._1 == 0L
     while (!converged) {
       if (prev._1 > maxClosurePairs)
-        return relaxGenerations(ids, edges, passes)
+        return chainRelaxGenerations(ids, txnKeys, passes)
       val squared = r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"),
           (col("a.d") + col("b.d")).as("d"))
@@ -224,27 +239,61 @@ object TxnEngine {
     (gensFromDepth(r.groupBy(col("dst")).agg(max(col("d")).as("g"))), passes)
   }
 
-  /** Fallback scheduler: per-node longest-path labels by edge relaxation.
-    * State is one (txn_id, gen) row per txn (O(n)) and each pass shuffles
-    * only the edge relation (O(E)) — one distributed pass per conflict
-    * level, the pre-doubling cost shape. Converges when the label sum
-    * stops moving (labels only ever grow, by ≥1 per unconverged pass).
+  /** Fallback scheduler: per-node longest-path labels by CHAIN
+    * relaxation. State is one (txn_id, gen) row per txn (O(n)); each
+    * pass joins the labels to the (txn_id, key, rank) incidence rows and
+    * takes a per-key window prefix-max — which propagates a label along
+    * an ENTIRE key chain in one pass, because the conflict edges within
+    * a key form a total order whose internal distances are known in
+    * closed form (rank difference): a predecessor u reaches t along the
+    * chain with exactly rank(t) − rank(u) edges, so
+    * cand(t) = max over preceding u of (gen(u) − rank(u)) + rank(t),
+    * a running max. Passes therefore track the number of KEY SWITCHES on
+    * the critical path, not its length (a8 20M probe: depth 33 resolves
+    * in 22 passes — the adversarial random graph's critical path
+    * switches keys on most hops, so the pass win there is modest; the
+    * structural win is on run-heavy logs, where a whole hot-key run
+    * costs ONE pass — TxnEngineSpec pins 50-deep single-chain at 2
+    * passes vs the old 50). Degenerate case
+    * (every edge switches key, e.g. the spec's c_i/c_{i+1} ladder) falls
+    * back to one level per pass — the old edge-relaxation shape, never
+    * worse. Converges when the label sum stops moving (labels only grow,
+    * by ≥1 per unconverged pass); candidates are always realized by a
+    * genuine DAG path, so the fixed point is exactly the longest-path
+    * depth.
     */
-  private def relaxGenerations(ids: DataFrame, edges: DataFrame,
+  private def chainRelaxGenerations(ids: DataFrame, txnKeys: DataFrame,
       passesSoFar: Int): (DataFrame, Int) = {
-    var gens = ids.withColumn("gen", lit(0L)).materialize
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("txn_id"))
+    val wChain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    // Both loop frames are hash-partitioned on txn_id and materialize
+    // PRESERVES that partitioning (LogicalRDD keeps outputPartitioning),
+    // so the two txn_id joins inside a pass plan with NO exchange: the
+    // only shuffles per pass are the per-key window sort and the
+    // cross-key groupBy — 2 legs instead of 5 (the A8ScaleProbe
+    // [mk-pre] stage=scheduling line measures the effect).
+    val ranked = txnKeys.select(col("txn_id"), col("key")).distinct()
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .repartition(col("txn_id"))
+      .materialize
+    var gens = ids.repartition(col("txn_id"))
+      .withColumn("gen", lit(0L)).materialize
     var passes = passesSoFar
     var prevSum = 0L
     var converged = false
     while (!converged) {
-      val relaxed = edges.join(gens, edges("src") === gens("txn_id"))
-        .select(edges("dst").as("txn_id"), (col("gen") + 1L).as("cand"))
+      val relaxed = ranked.join(gens, "txn_id")
+        .withColumn("pm", max(col("gen") - col("rank")).over(wChain))
+        .filter(col("pm").isNotNull)
+        .select(col("txn_id"), (col("pm") + col("rank")).as("cand"))
         .groupBy(col("txn_id")).agg(max(col("cand")).as("cand"))
-      val next = gens.as("g")
-        .join(relaxed.as("r"), col("g.txn_id") === col("r.txn_id"),
-          "left_outer")
-        .select(col("g.txn_id").as("txn_id"),
-          greatest(col("g.gen"), coalesce(col("r.cand"), lit(0L))).as("gen"))
+      val next = gens.join(relaxed, Seq("txn_id"), "left_outer")
+        .select(gens("txn_id"),
+          greatest(col("gen"), coalesce(col("cand"), lit(0L))).as("gen"))
         .materialize
       val curSum = next.agg(coalesce(sum(col("gen")), lit(0L))).head().getLong(0)
       converged = curSum == prevSum
@@ -347,7 +396,7 @@ object TxnEngine {
   def applyMultiKeyStats(initialState: DataFrame, txns: Dataset[Txn])
       : (DataFrame, DataFrame, MkStats) = {
     val spark = txns.sparkSession
-    val tds = txns.localCheckpoint(true)
+    val tds = timedStage("txn-ck")(txns.localCheckpoint(true))
     val flat = tds.toDF()
     val txnKeys = flat.select(col("txnId").as("txn_id"),
       explode(array_distinct(concat(
@@ -355,10 +404,10 @@ object TxnEngine {
         transform(col("updates"), u => u.getField("key"))))).as("key"))
     val arity = txnKeys.groupBy(col("txn_id"))
       .agg(count(lit(1)).as("nk"))
-    val keyed = txnKeys
+    val keyed = timedStage("keyed")(txnKeys
       .join(arity, "txn_id")
       .select(col("txn_id"), col("key"), (col("nk") > 1).as("is_multi"))
-      .materialize
+      .materialize)
 
     val cap = spark.conf
       .get("spark.graft.txn.foldComponentCap", FoldComponentCap.toString)
@@ -379,21 +428,33 @@ object TxnEngine {
       .filter(col("src") =!= col("txn_id"))
       .select(col("src").as("a_id"), col("txn_id").as("b_id"))
       .distinct()
-    val comp = keyed.select(col("txn_id")).distinct()
-      .join(graft.operators.Dedup.componentsOf(chainEdges)
-        .withColumnRenamed("doc_id", "txn_id"), Seq("txn_id"), "left_outer")
-      .select(col("txn_id"),
-        coalesce(col("group_id"), col("txn_id")).as("comp"))
-      .materialize
-    val sizes = comp.groupBy(col("comp"))
-      .agg(count(lit(1)).as("n"))
-      .agg(max(col("n")), count(lit(1))).head()
-    val (maxComp, nComp) =
-      if (sizes.isNullAt(0)) (0L, 0L) else (sizes.getLong(0), sizes.getLong(1))
-    if (maxComp <= cap)
-      applyMultiKeyFolded(initialState, tds, keyed, comp, nComp, maxComp)
-    else
-      applyMultiKeyGenerational(initialState, tds, keyed)
+    // over/under-cap decision with an early exit: exact labels are only
+    // needed on the FOLD path, so the labeling gives up the moment any
+    // component's lower-bound mass proves the cap is blown (the a8
+    // adversarial batch decides in round 1 instead of converging)
+    val labelsOpt = timedStage("components")(
+      graft.operators.Dedup.componentsUnderCap(chainEdges, cap))
+    labelsOpt match {
+      case None => // a component provably exceeds the fold cap
+        applyMultiKeyGenerational(initialState, tds, keyed)
+      case Some(labels) =>
+        val comp = keyed.select(col("txn_id")).distinct()
+          .join(labels.withColumnRenamed("doc_id", "txn_id"),
+            Seq("txn_id"), "left_outer")
+          .select(col("txn_id"),
+            coalesce(col("group_id"), col("txn_id")).as("comp"))
+          .materialize
+        val sizes = timedStage("comp-census")(comp.groupBy(col("comp"))
+          .agg(count(lit(1)).as("n"))
+          .agg(max(col("n")), count(lit(1))).head())
+        val (maxComp, nComp) =
+          if (sizes.isNullAt(0)) (0L, 0L)
+          else (sizes.getLong(0), sizes.getLong(1))
+        if (maxComp <= cap)
+          applyMultiKeyFolded(initialState, tds, keyed, comp, nComp, maxComp)
+        else
+          applyMultiKeyGenerational(initialState, tds, keyed)
+    }
   }
 
   /** Fast path: fold every conflict component's txns sequentially (txnId
@@ -490,13 +551,13 @@ object TxnEngine {
     val spark = tds.sparkSession
     import spark.implicits._
     val flat = tds.toDF()
-    val asserts = flat
+    val asserts = timedStage("asserts")(flat
       .select(col("txnId").as("txn_id"), explode(col("asserts")).as("a"))
       .select(col("txn_id"), col("a.key").as("key"),
         col("a.valueOption").as("expected"))
-      .materialize
+      .materialize)
     // last update wins within a txn (reference applies updates in order)
-    val updates = flat
+    val updates = timedStage("updates")(flat
       .select(col("txnId").as("txn_id"), posexplode(col("updates")).as(Seq("pos", "u")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -504,33 +565,48 @@ object TxnEngine {
       .filter(col("rn") === 1)
       .select(col("txn_id"), col("u.key").as("key"),
         col("u.valueOption").as("u_value"))
-      .materialize
+      .materialize)
 
-    // ---- scheduling: O(log depth) passes, all metadata-only ----
-    val (mGens, schedPasses) =
-      generationsCounted(keyed.filter(col("is_multi")).select(col("txn_id"), col("key")))
-    val gens = mGens.materialize
+    // ---- scheduling: metadata-only passes ----
+    val (mGens, schedPasses) = timedStage("scheduling")(
+      generationsCounted(keyed.filter(col("is_multi")).select(col("txn_id"), col("key"))))
+    val gens = timedStage("gens-ck")(mGens.materialize)
     // a single-key txn folds in the phase after the last multi-key txn
     // preceding it on its key (phase 0 if none); each phase's fold applies
-    // the whole single-key run between two multis in one cogroup pass
+    // the whole single-key run between two multis in one cogroup pass.
+    // An all-multi batch (a8's adversarial shape) skips the whole
+    // corpus-sized window: the phase assignment only exists for singles.
+    val anySingles = timedStage("singles-exist")(
+      !keyed.filter(!col("is_multi")).isEmpty)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("txn_id"))
-    val singlesPhase = keyed
-      .join(gens, Seq("txn_id"), "left_outer")
-      .withColumn("ph",
-        coalesce(last(when(col("is_multi"), col("gen")), ignoreNulls = true)
-          .over(w) + 1, lit(0)))
-      .filter(!col("is_multi"))
-      .select(col("txn_id"), col("key"), col("ph"))
-      .materialize
+    val singlesPhase = timedStage("singles-phase")(
+      if (!anySingles)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("txn_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("key",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("ph",
+              org.apache.spark.sql.types.IntegerType))))
+      else keyed
+        .join(gens, Seq("txn_id"), "left_outer")
+        .withColumn("ph",
+          coalesce(last(when(col("is_multi"), col("gen")), ignoreNulls = true)
+            .over(w) + 1, lit(0)))
+        .filter(!col("is_multi"))
+        .select(col("txn_id"), col("key"), col("ph"))
+        .materialize)
     // driver-bounded scheduling scalars: the phase count and which phases
     // fold singles — O(#phases), never the txn set
-    val maxMultiGen = {
+    val maxMultiGen = timedStage("sched-scalars") {
       val r = gens.agg(max(col("gen"))).head()
       if (r.isNullAt(0)) -1 else r.getInt(0)
     }
-    val singlePhases = singlesPhase.select(col("ph")).distinct()
-      .as[Int].collect().toSet
+    val singlePhases =
+      if (!anySingles) Set.empty[Int]
+      else singlesPhase.select(col("ph")).distinct().as[Int].collect().toSet
     val numPhases = math.max(maxMultiGen + 1,
       if (singlePhases.isEmpty) 0 else singlePhases.max + 1)
 

@@ -64,6 +64,32 @@ import org.apache.spark.sql.functions._
   * if one is ever needed, is the pre-loop's scheduler-pass count — a
   * metadata-only cost that a fleet's aggregate shuffle bandwidth
   * absorbs, unlike a data-proportional superlinearity.
+  *
+  * RECORDED round 15 — the pre-loop attacked on three fronts, measured
+  * by the new per-stage [mk-pre] timers (same hosts/sizes as r14):
+  * (1) scheduling: chain relaxation (whole key chains propagate per
+  * pass via a per-key window prefix-max; passes 32→24 / 33→22) with
+  * both loop frames co-partitioned on txn_id so only 2 shuffle legs
+  * remain per pass; (2) the fold-vs-generational components decision
+  * early-exits once any component's lower-bound mass tops the cap;
+  * (3) an all-multi batch skips the singles-phase window entirely.
+  *
+  *   | txns | wall s (r14→r15) | phase-loop | pre-loop | pre-loop share |
+  *   |------|------------------|------------|----------|----------------|
+  *   | 10M  | 504.2 → 392.0    | 204.4      | 187.6    | 64% → 47.9%    |
+  *   | 20M  | 874.2 → 815.7    | 280.8      | 534.9    | 70% → 65.6%    |
+  *
+  * 10M meets the <50% pre-loop target; 20M does not yet. The 20M
+  * residual decomposes as components 279.7 s + scheduling 244.7 s: the
+  * scheduling term now scales linearly (11.1 s/pass at 2× the
+  * metadata), while the components stage is the remaining
+  * superlinear-ish point (95→280 s at 2×) — its pointer-double
+  * self-join keys on group_id, and once the giant component's label
+  * wins, most rows carry ONE key (label skew; AQE's skew split only
+  * partially absorbs it). Named term for a future round; it is a
+  * DECISION cost only (the labels are abandoned on this path), so the
+  * cheapest fix is certifying over-cap earlier from the mass-growth
+  * trend rather than making the skewed join faster.
   */
 object A8ScaleProbe {
   def main(args: Array[String]): Unit = {

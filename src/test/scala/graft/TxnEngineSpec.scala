@@ -193,7 +193,9 @@ class TxnEngineSpec extends AnyFunSuite {
     // same chain shape as above at depth 40: the max-plus closure holds
     // O(depth^2) pairs, so a tiny cap forces the relaxation fallback.
     // Generations must be identical either way; only the pass count
-    // changes shape (log-bounded vs depth-bounded).
+    // changes shape. This c_i/c_{i+1} ladder is chain relaxation's WORST
+    // case — every edge switches key, so it degrades to one level per
+    // pass (the old edge-relaxation bound).
     val txnKeys = (0 until 40).flatMap(i =>
       Seq((i.toLong, s"c$i"), (i.toLong, s"c${i + 1}")))
       .toDF("txn_id", "key")
@@ -213,6 +215,29 @@ class TxnEngineSpec extends AnyFunSuite {
     assert(passesRelaxed >= 40 && passesRelaxed <= 45,
       s"relaxation took $passesRelaxed passes for a 40-deep chain")
     info(s"doubled=$passesDoubled relaxed=$passesRelaxed")
+  }
+
+  test("chain relaxation resolves long per-key runs in one pass, not one per level") {
+    import s.implicits._
+    // (a) one 50-txn chain on a single hot key: depth 49, but the whole
+    // chain is ONE window prefix-max — the fallback must converge in
+    // ~2 passes, not ~50 (r15: passes track key switches, not depth)
+    val hot = (0 until 50).map(i => (i.toLong, "hot")).toDF("txn_id", "key")
+    val (gensHot, passesHot) = TxnEngine.generationsCounted(hot, 10L)
+    assert(gensHot.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      == (0 until 50).map(i => i.toLong -> i).toMap)
+    assert(passesHot <= 4,
+      s"single-chain fallback took $passesHot passes (depth-bounded again?)")
+    // (b) two 15-txn runs bridged by one shared txn: depth 29 with ONE
+    // key switch on the critical path — a few passes, not ~30
+    val twoRuns = ((0 to 14).map(i => (i.toLong, "a")) ++
+      (14 to 29).map(i => (i.toLong, "b"))).toDF("txn_id", "key")
+    val (gensTwo, passesTwo) = TxnEngine.generationsCounted(twoRuns, 10L)
+    val m = gensTwo.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(14) == 14 && m(29) == 29, s"wrong depths: ${m(14)}, ${m(29)}")
+    assert(passesTwo <= 5,
+      s"two-segment fallback took $passesTwo passes")
+    info(s"hot=$passesHot twoRuns=$passesTwo")
   }
 
   test("multi-key stream recovers from its checkpoint after a kill/restart") {
