@@ -89,7 +89,13 @@ import org.apache.spark.sql.functions._
   * partially absorbs it). Named term for a future round; it is a
   * DECISION cost only (the labels are abandoned on this path), so the
   * cheapest fix is certifying over-cap earlier from the mass-growth
-  * trend rather than making the skewed join faster.
+  * trend rather than making the skewed join faster. MEASURED DEAD END
+  * (r15): broadcasting a distinct-label jump mapping per round to
+  * bypass the skewed join REGRESSED components 280 → 328 s at 20M —
+  * the per-round distinct+count+semi-join staging costs more than the
+  * skew it removes (early rounds are label-rich, so they pay the
+  * staging AND keep the shuffled join). Reverted; don't retry that
+  * shape.
   */
 object A8ScaleProbe {
   def main(args: Array[String]): Unit = {
